@@ -147,12 +147,161 @@ def _q_gap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- joins
+
+# PIP fixture polygons (mirrors datagen.fixture_polygons; inlined here so
+# the oracle SQL literals come from the same source of truth).
+_PIP_POLYGONS: list[tuple[int, list[tuple[float, float]]]] = [
+    (1, [(2.05, 2.05), (10.05, 2.05), (10.05, 10.05), (2.05, 10.05), (2.05, 2.05)]),
+    (2, [(20.05, 4.05), (30.05, 4.05), (25.05, 14.05), (20.05, 4.05)]),
+    (3, [(40.05, 40.05), (52.05, 40.05), (52.05, 52.05), (40.05, 52.05), (40.05, 40.05)]),
+    (
+        4,
+        [
+            (12.05, 20.05),
+            (24.05, 20.05),
+            (24.05, 24.05),
+            (16.05, 24.05),
+            (16.05, 32.05),
+            (24.05, 32.05),
+            (24.05, 36.05),
+            (12.05, 36.05),
+            (12.05, 20.05),
+        ],
+    ),
+]
+
+
+def _polygons_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (pid, [{"x": float(x), "y": float(y)} for x, y in ring])
+        for pid, ring in _PIP_POLYGONS
+    ]
+    return spark.createDataFrame(rows, "poly_id int, ring array<struct<x:double,y:double>>")
+
+
+def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.pip import pip_join
+
+    pts = derive.points_df(spark, sf_dir)
+    out = pip_join(pts, _polygons_df(spark), res=8.0, how="inner")
+    return out.select("pid", "poly_id", "z")
+
+
+def _q_pip_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.pip import pip_join
+
+    pts = derive.points_df(spark, sf_dir)
+    out = pip_join(pts, _polygons_df(spark), res=8.0, how="left_semi")
+    return out.select("pid", "z", "cls")
+
+
+def _q_radius_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.neighbors import radius_cell_join
+
+    pts = derive.points_df(spark, sf_dir)
+    rj = radius_cell_join(pts, radius=1.5, res=1.0)
+    out = gridstats.cell_stats(rj, stats=("count", "mean", "max"), res=1.0)
+    return out.select(
+        "cell_col",
+        "cell_row",
+        F.col("count").alias("cnt"),
+        F.round("mean", 6).alias("zmean"),
+        F.col("max").alias("zmax"),
+    )
+
+
+def _q_knn_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.neighbors import idw, knn_join
+
+    pts = derive.points_df(spark, sf_dir)
+    q = pts.filter(F.col("pid") % 97 == 0).select(
+        F.col("pid").alias("qid"), F.col("x").alias("qx"), F.col("y").alias("qy")
+    )
+    s = pts.filter(F.col("pid") % 97 != 0).select(
+        F.col("pid").alias("sid"), "x", "y", "z"
+    )
+    knn = knn_join(q, s, k=3, res=1.0, rings=3)
+    return idw(knn).select("qid", F.round("idw", 6).alias("idw"))
+
+
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.zonal import zonal_stats, zone_lookup
+
+    pts = derive.cells_df(spark, sf_dir)
+    zones = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).alias("cell_col"),
+            F.floor(F.col("id") / 64).alias("cell_row"),
+        )
+        .withColumn(
+            "zone_id",
+            F.floor(F.col("cell_col") / 16) * 4 + F.floor(F.col("cell_row") / 16),
+        )
+    )
+    out = zonal_stats(zone_lookup(pts, zones), quantile_num=4)
+    return out.select(
+        "zone_id",
+        "cls",
+        F.col("count").alias("cnt"),
+        F.col("sum").alias("zsum"),
+        F.col("min").alias("zmin"),
+        F.col("max").alias("zmax"),
+        F.round("mean", 6).alias("zmean"),
+        F.round("median", 6).alias("zmed"),
+        F.round("variance", 6).alias("zvar"),
+        F.round("stddev", 6).alias("zstd"),
+        *[F.col(f"q{i}") for i in range(6)],
+    )
+
+
+def _q_bilinear_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: bilinear raster sampling at points — four corner equi-joins
+    against an analytic raster table, closed-form blend (the las2csrs
+    shift-grid sample, src/las2csrs.cpp:36-40,142-169)."""
+    pts = derive.points_df(spark, sf_dir)
+    raster = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).alias("rc"),
+            F.floor(F.col("id") / 64).alias("rr"),
+        )
+        .withColumn("v", ((F.col("rc") * 3 + F.col("rr") * 5) % 97).cast("double"))
+    )
+    c0 = F.least(F.greatest(F.floor(F.col("x") - 0.5), F.lit(0)), F.lit(62))
+    r0 = F.least(F.greatest(F.floor(F.col("y") - 0.5), F.lit(0)), F.lit(62))
+    p = pts.withColumn("c0", c0).withColumn("r0", r0)
+    p = p.withColumn("fx", F.col("x") - 0.5 - F.col("c0")).withColumn(
+        "fy", F.col("y") - 0.5 - F.col("r0")
+    )
+    for dx, dy, name in ((0, 0, "v00"), (1, 0, "v10"), (0, 1, "v01"), (1, 1, "v11")):
+        r = raster.select(
+            (F.col("rc") - dx).alias("c0"), (F.col("rr") - dy).alias("r0"),
+            F.col("v").alias(name),
+        )
+        p = p.join(F.broadcast(r), ["c0", "r0"], "inner")
+    v = (
+        F.col("v00") * (1.0 - F.col("fx")) * (1.0 - F.col("fy"))
+        + F.col("v10") * F.col("fx") * (1.0 - F.col("fy"))
+        + F.col("v01") * (1.0 - F.col("fx")) * F.col("fy")
+        + F.col("v11") * F.col("fx") * F.col("fy")
+    )
+    return p.select("pid", F.round(v, 6).alias("sampled"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grid_stats": _q_grid_stats,
         "grid_filtered": _q_grid_filtered,
         "grid_quantiles": _q_grid_quantiles,
         "gap_fraction": _q_gap_fraction,
+        "pip_join": _q_pip_join,
+        "pip_clip": _q_pip_clip,
+        "radius_grid": _q_radius_grid,
+        "knn_idw": _q_knn_idw,
+        "zonal_stats": _q_zonal_stats,
+        "bilinear_sample": _q_bilinear_sample,
     }
 
 
@@ -214,6 +363,102 @@ def oracle_sql() -> dict[str, str]:
     last = "num_returns > 0 AND return_num = num_returns"
     single = "num_returns = 1"
     inter = "num_returns > 2 AND return_num > 1 AND return_num < num_returns"
+    from geotools_spark.operators.pip import pip_oracle_sql
+
+    pip_frag = pip_oracle_sql(_PIP_POLYGONS)
+    sqls["pip_join"] = f"""
+    WITH pts AS ({derive.POINTS_CTE}),
+    cells AS (SELECT pid, x, y, z, cls FROM pts),
+    {pip_frag}
+    SELECT i.pid, i.poly_id, c.z FROM inside i JOIN cells c ON i.pid = c.pid
+    """
+    sqls["pip_clip"] = f"""
+    WITH pts AS ({derive.POINTS_CTE}),
+    cells AS (SELECT pid, x, y, z, cls FROM pts),
+    {pip_frag}
+    SELECT p.pid, p.z, p.cls FROM cells p WHERE p.pid IN (SELECT pid FROM inside)
+    """
+
+    sqls["radius_grid"] = f"""
+    WITH pts AS ({derive.POINTS_CTE}),
+    offs AS (SELECT dx.range AS dx, dy.range AS dy
+             FROM range(-2, 3) dx, range(-2, 3) dy),
+    rj AS (SELECT p.x, p.y, p.z,
+                  CAST(FLOOR(p.x) AS BIGINT) + o.dx AS cell_col,
+                  CAST(FLOOR(p.y) AS BIGINT) + o.dy AS cell_row
+           FROM pts p CROSS JOIN offs o),
+    filt AS (SELECT *, (x - (cell_col + 0.5)) AS ddx, (y - (cell_row + 0.5)) AS ddy
+             FROM rj)
+    SELECT cell_col, cell_row, CAST(COUNT(*) AS DOUBLE) AS cnt,
+           ROUND(AVG(z), 6) AS zmean, MAX(z) AS zmax
+    FROM filt WHERE ddx * ddx + ddy * ddy <= 2.25
+    GROUP BY cell_col, cell_row
+    """
+
+    sqls["knn_idw"] = f"""
+    WITH pts AS ({derive.POINTS_CTE}),
+    q AS (SELECT pid AS qid, x AS qx, y AS qy FROM pts WHERE pid % 97 = 0),
+    s AS (SELECT pid AS sid, x, y, z FROM pts WHERE pid % 97 != 0),
+    d0 AS (SELECT q.qid, s.sid, s.z,
+                  SQRT((q.qx - s.x) * (q.qx - s.x) + (q.qy - s.y) * (q.qy - s.y)) AS dist
+           FROM q CROSS JOIN s),
+    d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, sid) AS rn
+          FROM d0),
+    k AS (SELECT * FROM d WHERE rn <= 3)
+    SELECT qid,
+      ROUND(CASE WHEN COUNT(CASE WHEN dist = 0 THEN 1 END) > 0
+        THEN SUM(CASE WHEN dist = 0 THEN z END)
+             / COUNT(CASE WHEN dist = 0 THEN 1 END)
+        ELSE SUM(CASE WHEN dist > 0 THEN z / (dist * dist) END)
+             / SUM(CASE WHEN dist > 0 THEN 1.0 / (dist * dist) END) END, 6) AS idw
+    FROM k GROUP BY qid
+    """
+
+    zq_exprs = ", ".join(
+        "vals[CAST(CEIL(({i} / 5.0) * (cnt - 1)) AS INT) + 1] AS q{i}".format(i=i)
+        for i in range(6)
+    )
+    sqls["zonal_stats"] = f"""
+    {_CELLS_CTE},
+    zones AS (SELECT CAST(t.i % 64 AS BIGINT) AS cell_col,
+                     CAST(t.i // 64 AS BIGINT) AS cell_row,
+                     CAST((t.i % 64) // 16 * 4 + (t.i // 64) // 16 AS BIGINT) AS zone_id
+              FROM range(0, 4096) t(i)),
+    pz AS (SELECT c.z, c.cls, zn.zone_id FROM cells c
+           JOIN zones zn ON c.cell_col = zn.cell_col AND c.cell_row = zn.cell_row),
+    packed AS (
+      SELECT zone_id, cls,
+        CAST(COUNT(*) AS DOUBLE) AS cnt,
+        ROUND(SUM(z), 6) AS zsum, MIN(z) AS zmin, MAX(z) AS zmax,
+        ROUND(AVG(z), 6) AS zmean, ROUND(MEDIAN(z), 6) AS zmed,
+        ROUND(CASE WHEN COUNT(*) <= 1 THEN 0.0 ELSE VAR_SAMP(z) END, 6) AS zvar,
+        ROUND(CASE WHEN COUNT(*) <= 1 THEN 0.0 ELSE STDDEV_SAMP(z) END, 6) AS zstd,
+        LIST(z ORDER BY z) AS vals
+      FROM pz GROUP BY zone_id, cls)
+    SELECT zone_id, cls, cnt, zsum, zmin, zmax, zmean, zmed, zvar, zstd, {zq_exprs}
+    FROM packed
+    """
+
+    sqls["bilinear_sample"] = f"""
+    WITH pts AS ({derive.POINTS_CTE}),
+    raster AS (SELECT CAST(t.i % 64 AS BIGINT) AS rc, CAST(t.i // 64 AS BIGINT) AS rr,
+                      CAST(((t.i % 64) * 3 + (t.i // 64) * 5) % 97 AS DOUBLE) AS v
+               FROM range(0, 4096) t(i)),
+    p AS (SELECT pid, x, y,
+                 LEAST(GREATEST(CAST(FLOOR(x - 0.5) AS BIGINT), 0), 62) AS c0,
+                 LEAST(GREATEST(CAST(FLOOR(y - 0.5) AS BIGINT), 0), 62) AS r0
+          FROM pts),
+    p2 AS (SELECT *, x - 0.5 - c0 AS fx, y - 0.5 - r0 AS fy FROM p)
+    SELECT p2.pid,
+      ROUND(a.v * (1.0 - fx) * (1.0 - fy) + b.v * fx * (1.0 - fy)
+            + c.v * (1.0 - fx) * fy + d.v * fx * fy, 6) AS sampled
+    FROM p2
+    JOIN raster a ON a.rc = p2.c0 AND a.rr = p2.r0
+    JOIN raster b ON b.rc = p2.c0 + 1 AND b.rr = p2.r0
+    JOIN raster c ON c.rc = p2.c0 AND c.rr = p2.r0 + 1
+    JOIN raster d ON d.rc = p2.c0 + 1 AND d.rr = p2.r0 + 1
+    """
+
     sqls["gap_fraction"] = f"""
     {_CELLS_CTE},
     sums AS (

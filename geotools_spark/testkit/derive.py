@@ -17,7 +17,10 @@ from __future__ import annotations
 
 # Expressions valid in BOTH Spark SQL and DuckDB.
 POINT_EXPRS = (
-    "l_orderkey * 10 + l_linenumber AS pid",
+    # unique row id: (orderkey, linenumber, partkey, suppkey) is unique in
+    # the driver testdata; ranges (sf0.1): orderkey<150000, linenumber<=7,
+    # partkey<20000, suppkey<1000 -> fits comfortably in int64
+    "((l_orderkey * 8 + l_linenumber) * 20000 + l_partkey) * 1000 + l_suppkey AS pid",
     "CAST((l_orderkey * 7919 + l_partkey * 104729 + l_linenumber * 7001) % 64000 AS DOUBLE)"
     " / 1000.0 AS x",
     "CAST((l_orderkey * 104729 + l_suppkey * 7919 + l_linenumber * 9001) % 64000 AS DOUBLE)"
