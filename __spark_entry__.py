@@ -290,6 +290,111 @@ def _q_bilinear_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("pid", F.round(v, 6).alias("sampled"))
 
 
+# ------------------------------------------- training-data pipeline ops
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return exact_dedup(doubled).select("doc_id", "n_chars")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, pair_key="source")
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.textstats import text_metrics
+
+    return text_metrics(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    out = cosine_topk(emb, qvec, k=50)
+    return out.select("vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.sessions import session_stats, sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(sessionize(ev, gap_us=3_600_000_000))
+
+
+def _q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.sessions import merge_intervals
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    iv = orders.select(
+        (F.col("o_custkey") % 50).alias("key"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("start_us"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            + (F.col("o_orderkey") % 14 + 1) * F.lit(86_400_000_000)
+        ).alias("end_us"),
+    )
+    return merge_intervals(iv, key="key", tolerance_us=86_400_000_000)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash LSH; non-SQL-expressible (xxhash64) —
+    rows-only driver check; exactness covered by tests/test_dedup.py."""
+    from geotools_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    # plant near-duplicates: re-add every 10th doc with a one-word prefix
+    dups = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.lit("dup "), F.col("text")))
+    )
+    return minhash_lsh_pairs(
+        docs.unionByName(dups), num_perm=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs; rows-only driver check (xxhash64)."""
+    from geotools_spark.operators.dedup import simhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    dups = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.lit("dup "), F.col("text")))
+    )
+    return simhash_pairs(docs.unionByName(dups), max_hamming=6)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k; rows-only driver check (recall vs exact
+    covered by tests/test_similarity.py)."""
+    from geotools_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    out = lsh_ann_topk(emb, qvec, k=20, bits=6)
+    return out.select("vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grid_stats": _q_grid_stats,
@@ -302,6 +407,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_idw": _q_knn_idw,
         "zonal_stats": _q_zonal_stats,
         "bilinear_sample": _q_bilinear_sample,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "cosine_topk": _q_cosine_topk,
+        "sessionize": _q_sessionize,
+        "interval_merge": _q_interval_merge,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_lsh": _q_ann_lsh,
     }
 
 
@@ -493,5 +608,144 @@ def oracle_sql() -> dict[str, str]:
       ROUND(CASE WHEN first_n != 0 THEN first_canopy_n / first_n ELSE -9999.0 END, 6)
         AS gap_fr
     FROM sums
+    """
+
+    sqls["exact_dedup"] = """
+    WITH doubled AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, n_chars FROM documents)
+    SELECT doc_id, n_chars FROM doubled
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """
+
+    sqls["ngram_jaccard"] = """
+    WITH g AS (
+      SELECT doc_id, source,
+        list_distinct([substr(text, CAST(i AS INT), 3)
+                       FOR i IN range(1, GREATEST(length(text) - 2, 1) + 1)]) AS grams
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / CAST(len(a.grams) + len(b.grams)
+                   - len(list_intersect(a.grams, b.grams)) AS DOUBLE), 6) AS jaccard
+    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    """
+
+    _TOKS = (
+        "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
+    )
+    en_stop = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on']"
+    sqls["text_quality"] = f"""
+    WITH t AS (SELECT doc_id, CAST(length(text) AS INTEGER) AS n_char, text,
+                      {_TOKS} AS tk FROM documents),
+    m AS (SELECT doc_id, n_char,
+      CAST(len(tk) AS INTEGER) AS n_tokens,
+      CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+        / CAST(len(tk) AS DOUBLE) AS mtl,
+      CAST(len(list_filter(tk, x -> list_contains({en_stop}, x))) AS DOUBLE)
+        / CAST(len(tk) AS DOUBLE) AS stopr,
+      CAST(n_char - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        / CAST(n_char AS DOUBLE) AS digr
+      FROM t)
+    SELECT doc_id, n_tokens, n_char,
+      ROUND(mtl, 6) AS mean_tok_len,
+      ROUND(stopr, 6) AS stop_ratio,
+      ROUND(digr, 6) AS digit_ratio,
+      ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+            + CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 0.3 ELSE 0.0 END
+            + LEAST(stopr * 5.0, 1.0) * 0.2
+            + (1.0 - LEAST(digr * 10.0, 1.0)) * 0.2, 6) AS quality
+    FROM m
+    """
+
+    def _score(words: tuple[str, ...]) -> str:
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        return f"CAST(len(list_filter(tk, x -> list_contains({lst}, x))) AS INTEGER)"
+
+    from geotools_spark.operators.textstats import STOPWORDS
+
+    score_cols = ", ".join(
+        f"{_score(STOPWORDS[lang])} AS score_{lang}" for lang in STOPWORDS
+    )
+    langs = list(STOPWORDS)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} > 0"] + [
+            f"score_{lang} >= score_{later}" for later in langs[i + 1 :]
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    sqls["lang_id"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    s AS (SELECT doc_id, {score_cols} FROM t)
+    SELECT *, CASE {' '.join(cases)} ELSE 'und' END AS lang_pred FROM s
+    """
+
+    dot = (
+        "list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)"
+        " FOR i IN range(1, 65)])"
+    )
+    enorm = (
+        "SQRT(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)"
+        " FOR i IN range(1, 65)]))"
+    )
+    qnorm = (
+        "SQRT(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)"
+        " FOR i IN range(1, 65)]))"
+    )
+    sqls["cosine_topk"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (SELECT e.vec_id,
+                      ROUND({dot} / ({enorm} * {qnorm}), 6) AS cosine
+               FROM embeddings e, q),
+    ranked AS (SELECT vec_id, cosine,
+                      CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id)
+                           AS INTEGER) AS rank
+               FROM scored)
+    SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 50
+    """
+
+    sqls["sessionize"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    f AS (SELECT user_id, us,
+            CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w > 3600000000 THEN 1 ELSE 0 END AS nf
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    s AS (SELECT user_id, us,
+            SUM(nf) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+              AS session_id
+          FROM f)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+           MIN(us) AS start_us, MAX(us) AS end_us,
+           MAX(us) - MIN(us) AS span_us
+    FROM s GROUP BY user_id, session_id
+    """
+
+    sqls["interval_merge"] = """
+    WITH iv AS (SELECT o_custkey % 50 AS key,
+                       epoch_us(o_orderdate) AS start_us,
+                       epoch_us(o_orderdate)
+                         + (o_orderkey % 14 + 1) * 86400000000 AS end_us
+                FROM orders),
+    flagged AS (SELECT key, start_us, end_us,
+        CASE WHEN MAX(end_us) OVER (PARTITION BY key ORDER BY start_us, end_us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+              OR start_us > MAX(end_us) OVER (PARTITION BY key
+                                    ORDER BY start_us, end_us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            + 86400000000
+             THEN 1 ELSE 0 END AS nf
+        FROM iv),
+    grouped AS (SELECT key, start_us, end_us,
+        SUM(nf) OVER (PARTITION BY key ORDER BY start_us, end_us
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+          AS interval_id
+        FROM flagged)
+    SELECT key, CAST(interval_id AS BIGINT) AS interval_id,
+           MIN(start_us) AS m_start, MAX(end_us) AS m_end,
+           COUNT(*) AS n_merged
+    FROM grouped GROUP BY key, interval_id
     """
     return sqls

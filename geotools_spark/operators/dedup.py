@@ -1,0 +1,231 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Four tiers, all expressed Spark-first (no Python in the hot path except
+where noted):
+
+- exact: window row_number over the normalized text key — one shuffle.
+- MinHash + LSH: word shingles -> P minhash signatures (xxhash64,
+  JVM-side) -> banded bucket join -> candidate pairs -> EXACT shingle
+  Jaccard verification. The classic near-dup pipeline (Broder '97) with
+  the band join replacing an all-pairs comparison; at 10^12 docs the
+  bucket join is the only quadratic-avoiding strategy.
+- SimHash: token hashes -> per-bit signed sums -> 64-bit signature
+  (Charikar '02), banded into 4x16-bit keys for candidate joins +
+  exact Hamming verify via bit_count(xor).
+- n-gram Jaccard: exact character-3-gram set similarity for candidate
+  pairs (the verification kernel, also exposed standalone with a DuckDB
+  SQL oracle).
+
+Scale notes: every join here is an equi-join on a computed key (band
+hash / simhash band), so Catalyst plans hash joins and AQE handles the
+inevitable hot buckets (empty-ish shingle sets collide). Signatures are
+fixed-width columns, not variable blobs, so shuffles stay compact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def tokens_expr(text_col: str = "text"):
+    """whitespace tokens, empties dropped (JVM-side)."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+
+
+def shingles_expr(k: int, text_col: str = "text"):
+    """distinct word k-shingles."""
+    toks = tokens_expr(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def char_ngrams_expr(n: int, text_col: str = "text"):
+    """distinct character n-grams."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(1))),
+            lambda i: F.substring(F.col(text_col), i, n),
+        )
+    )
+
+
+def jaccard_expr(a, b):
+    """|a ∩ b| / |a ∪ b| on pre-distinct arrays, via
+    |a|+|b|-|a∩b| so Spark and the SQL oracle share the formula."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))).cast("double")
+
+
+def exact_dedup(docs: DataFrame, *, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per key (deterministic winner)."""
+    w = Window.partitionBy(key).orderBy(id_col)
+    return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, shingles, mh array<long>) — one xxhash64 family per
+    permutation index, all inside whole-stage codegen."""
+    with_sh = docs.select(id_col, shingles_expr(shingle_k, text_col).alias("shingles"))
+
+    def _mh(p: int):
+        # NB: the transform lambda must take exactly ONE parameter —
+        # PySpark passes the array index to a second parameter, which
+        # would silently shadow the permutation constant.
+        return F.array_min(
+            F.transform("shingles", lambda s: F.xxhash64(F.lit(p), s))
+        ).alias(f"_mh{p}")
+
+    mins = [_mh(p) for p in range(num_perm)]
+    sig = with_sh.select(id_col, "shingles", *mins)
+    return sig.select(
+        id_col, "shingles", F.array(*[f"_mh{p}" for p in range(num_perm)]).alias("mh")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) whose EXACT shingle
+    Jaccard >= threshold. LSH prunes; Jaccard verifies."""
+    rows = num_perm // bands
+    sig = minhash_signatures(
+        docs, num_perm=num_perm, shingle_k=shingle_k, id_col=id_col, text_col=text_col
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("mh")[b * rows + r] for r in range(rows)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(id_col, "shingles", F.explode(band_cols).alias("bb")).select(
+        id_col, "shingles", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    left = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), "band", "bh"
+    )
+    right = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), "band", "bh"
+    )
+    cand = (
+        left.join(right, ["band", "bh"], "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = jaccard_expr(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc: explode tokens -> xxhash64 -> per-bit
+    signed sums -> sign pack. One groupBy, 64 algebraic aggregates —
+    scales as a plain map-side-combinable aggregation."""
+    toks = docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    packed = None
+    for b in range(64):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(term, b)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return agg.select(id_col, packed.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    *,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 4x16-bit band join (any shared band)
+    then exact Hamming distance <= max_hamming."""
+    sh = simhash(docs, id_col=id_col, text_col=text_col)
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bk")
+    left = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "band", "bk")
+    right = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "band", "bk")
+    cand = (
+        left.join(right, ["band", "bk"], "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    pair_key: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact char-n-gram Jaccard for all pairs sharing ``pair_key`` —
+    the bounded-candidate exact kernel (SQL-oracle-able)."""
+    g = docs.select(
+        F.col(id_col), F.col(pair_key).alias("_pk"), char_ngrams_expr(n, text_col).alias("grams")
+    )
+    a = g.select(F.col(id_col).alias("id_a"), F.col("_pk"), F.col("grams").alias("g_a"))
+    b = g.select(F.col(id_col).alias("id_b"), F.col("_pk"), F.col("grams").alias("g_b"))
+    pairs = a.join(b, "_pk").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", F.round(jaccard_expr(F.col("g_a"), F.col("g_b")), 6).alias("jaccard")
+    )

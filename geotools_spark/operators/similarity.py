@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force cosine against one query vector as pure
+  JVM fold expressions (zip_with + aggregate) — the exactness baseline
+  and the verification oracle for the ANN path.
+- ``lsh_ann_topk``: random-hyperplane LSH (sign-bit bucketing) — the
+  scale path. Buckets turn the similarity scan into an equi-join; the
+  exact cosine runs only inside candidate buckets. Multi-probe (flip
+  each single bit) keeps recall high without widening the fan-out
+  beyond bits+1 probes per vector.
+
+At 100 TB the brute-force path is a full scan per query (fine for one
+query vector, unacceptable for query sets); the LSH path's bucket join
+shuffles each side once on bucket id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot_expr(col, qvec: list[float]):
+    arr = F.array(*[F.lit(float(v)) for v in qvec])
+    return F.aggregate(
+        F.zip_with(col, arr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm2_expr(col):
+    return F.aggregate(
+        col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``; deterministic
+    (rounded cosine desc, id asc) ordering."""
+    qnorm = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    cos = _dot_expr(F.col(vec_col), query_vec) / (
+        F.sqrt(_norm2_expr(F.col(vec_col))) * F.lit(qnorm)
+    )
+    scored = embeddings.select(id_col, F.round(cos, 6).alias("cosine"))
+    w = Window.orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-bit LSH."""
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((bits, dim))
+
+
+def bucket_expr(vec_col, planes: np.ndarray):
+    """LSH bucket id = packed sign bits of plane dot products, computed
+    as JVM fold expressions (one per plane)."""
+    bucket = F.lit(0).cast("long")
+    for b in range(planes.shape[0]):
+        dot = _dot_expr(vec_col, planes[b].tolist())
+        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, b))
+    return bucket
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 50,
+    bits: int = 8,
+    probe_flips: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's bucket plus
+    all buckets within ``probe_flips`` bit flips (multi-probe LSH —
+    recall/candidate-count dial; bits sizes the bucket count to the
+    corpus: ~log2(N / desired_candidates_per_bucket))."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, bits, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for b in range(bits):
+        if float(planes[b] @ q) > 0:
+            qbucket |= 1 << b
+    probes = {qbucket}
+    if probe_flips >= 1:
+        probes |= {qbucket ^ (1 << b) for b in range(bits)}
+    if probe_flips >= 2:
+        probes |= {
+            qbucket ^ (1 << b1) ^ (1 << b2)
+            for b1 in range(bits)
+            for b2 in range(b1 + 1, bits)
+        }
+    probes = sorted(probes)
+    bucketed = embeddings.withColumn("_bucket", bucket_expr(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

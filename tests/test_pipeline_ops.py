@@ -1,0 +1,71 @@
+"""Training-data pipeline operators without SQL oracles: MinHash/SimHash
+near-dup detection (planted duplicates), LSH ANN recall vs exact, and
+the fingerprint kernel vs a pure-Python oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geotools_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+from geotools_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from geotools_spark.operators.textstats import fingerprint_py, fingerprints
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(docs):
+    dups = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.lit("dup "), F.col("text")))
+    )
+    return docs.unionByName(dups)
+
+
+def test_minhash_finds_planted_dups(docs, docs_with_dups):
+    planted = {r.doc_id for r in docs.filter(F.col("doc_id") % 10 == 0).collect()}
+    pairs = minhash_lsh_pairs(docs_with_dups, num_perm=64, bands=16, threshold=0.5)
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    for pid in planted:
+        assert (pid, pid + 1000000) in found, pid
+        assert found[(pid, pid + 1000000)] >= 0.5
+
+
+def test_simhash_finds_planted_dups(docs, docs_with_dups):
+    planted = {r.doc_id for r in docs.filter(F.col("doc_id") % 10 == 0).collect()}
+    pairs = simhash_pairs(docs_with_dups, max_hamming=6)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    hits = sum((pid, pid + 1000000) in found for pid in planted)
+    # one-token prefix flips few sign bits; require near-total recall
+    assert hits >= 0.9 * len(planted), (hits, len(planted))
+
+
+def test_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    exact = {r.vec_id for r in cosine_topk(emb, qvec, k=20).collect()}
+    ann = {r.vec_id for r in lsh_ann_topk(emb, qvec, k=20, bits=6).collect()}
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.5, recall  # multiprobe 8-bit LSH on 500 vecs
+    assert 0 in ann  # the query vector itself is its own nearest
+
+
+def test_fingerprint_matches_python_oracle(docs):
+    sample = docs.limit(20)
+    got = {r.doc_id: r.fingerprint for r in fingerprints(sample).collect()}
+    for row in sample.collect():
+        assert got[row.doc_id] == fingerprint_py(row.text), row.doc_id
+
+
+def test_all_queries_execute(spark):
+    """Every queries() entry must run and return >= 0 rows at sf0.001
+    (the driver's smoke scale)."""
+    import __spark_entry__ as m
+
+    for name, fn in m.queries().items():
+        assert fn(spark, "/root/testdata/sf0.001").count() >= 0, name
