@@ -395,6 +395,157 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
 
 
+# ------------------------------------------- raster focal / global ops
+
+
+def _mean_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64x64 long-form raster derived from the points: per-cell mean z.
+    Cells with no points are absent (= nodata), exactly reproducible in
+    the DuckDB oracle."""
+    cells = derive.cells_df(spark, sf_dir)
+    return cells.groupBy("cell_col", "cell_row").agg(F.avg("z").alias("value"))
+
+
+def _q_smooth3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.raster import gaussian_smooth
+
+    out = gaussian_smooth(
+        _mean_raster(spark, sf_dir), sigma=0.8, size=3, cols=64, rows=64
+    )
+    return out.filter(F.col("smoothed").isNotNull()).select(
+        "cell_col", "cell_row", F.round("smoothed", 6).alias("smoothed")
+    )
+
+
+def _q_local_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.raster import local_maxima
+
+    out = local_maxima(
+        _mean_raster(spark, sf_dir), window=3, min_height=20.0, cols=64, rows=64
+    )
+    return out.select("top_id", "cell_col", "cell_row", F.round("z", 6).alias("z"))
+
+
+def _q_raster_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.raster import raster_pair_diff_stats
+
+    cells = derive.cells_df(spark, sf_dir)
+    a = cells.groupBy("cell_col", "cell_row").agg(F.avg("z").alias("value"))
+    b = cells.groupBy("cell_col", "cell_row").agg(F.max("z").alias("value"))
+    rasters = a.withColumn("raster_id", F.lit("a")).unionByName(
+        b.withColumn("raster_id", F.lit("b"))
+    )
+    classes = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).alias("cell_col"),
+            F.floor(F.col("id") / 64).alias("cell_row"),
+        )
+        .withColumn("cls", (F.col("cell_col") % 4).cast("int"))
+    )
+    out = raster_pair_diff_stats(rasters, classes)
+    return out.select(
+        "rid0",
+        "rid1",
+        "cls",
+        F.col("count").cast("long").alias("cnt"),
+        F.round("sum", 6).alias("dsum"),
+        F.round("min", 6).alias("dmin"),
+        F.round("max", 6).alias("dmax"),
+        F.round("mean", 6).alias("dmean"),
+        F.round("variance", 6).alias("dvar"),
+        F.round("stddev", 6).alias("dstd"),
+    )
+
+
+def _q_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.raster import normalize
+
+    out = normalize(_mean_raster(spark, sf_dir), total_cells=64 * 64, parity=True)
+    return out.select("cell_col", "cell_row", F.round("value", 6).alias("nvalue"))
+
+
+def _q_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.raster import spectral_pivot
+
+    cells = derive.cells_df(spark, sf_dir)
+    agg = cells.groupBy("cell_col", "cell_row").agg(
+        F.avg("z").alias("b1"),
+        F.max("z").alias("b2"),
+        F.count("z").cast("double").alias("b3"),
+    )
+    # band 2 exists only where the cell has >= 2 points, so the
+    # all-bands-present rule (src/spectral.cpp:160-170) actually filters
+    bands = None
+    for bid, col, cond in (
+        (1, "b1", None),
+        (2, "b2", F.col("b3") >= 2),
+        (3, "b3", None),
+    ):
+        part = agg.select(
+            "cell_col", "cell_row", F.lit(bid).alias("band"), F.col(col).alias("value")
+        )
+        if cond is not None:
+            part = agg.filter(cond).select(
+                "cell_col", "cell_row", F.lit(bid).alias("band"), F.col(col).alias("value")
+            )
+        bands = part if bands is None else bands.unionByName(part)
+    out = spectral_pivot(bands, [1, 2, 3])
+    return out.select(
+        "cell_col",
+        "cell_row",
+        F.round("1", 6).alias("band1"),
+        F.round("2", 6).alias("band2"),
+        F.round("3", 6).alias("band3"),
+    )
+
+
+def _q_flood_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 connected-component labeling; iterative — rows-only driver
+    check (component correctness covered by tests/test_raster.py)."""
+    from geotools_spark.operators.raster import flood_label
+
+    out = flood_label(
+        _mean_raster(spark, sf_dir),
+        predicate=F.col("value") <= 25.0,
+        connectivity=4,
+        max_iters=64,
+    )
+    return out.select("cell_col", "cell_row", "label")
+
+
+def _q_feather_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 feather alpha mask; iterative — rows-only driver check
+    (oracle covered by tests/test_raster.py vs the numpy snow-in)."""
+    from geotools_spark.operators.raster import feather
+
+    out = feather(
+        _mean_raster(spark, sf_dir), distance=3.0, resolution=1.0, cols=64, rows=64
+    )
+    return out.select("cell_col", "cell_row", F.round("alpha", 6).alias("alpha"))
+
+
+def _q_void_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 expanding-radius IDW void fill; per-tile numpy — rows-only
+    driver check (semantics covered by tests/test_raster.py)."""
+    from geotools_spark.operators.raster import void_fill_idw
+
+    # densify: union the mean raster with explicit nodata rows so voids exist
+    r = _mean_raster(spark, sf_dir)
+    dense = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).alias("cell_col"),
+            F.floor(F.col("id") / 64).alias("cell_row"),
+        )
+        .join(r, ["cell_col", "cell_row"], "left")
+    )
+    out = void_fill_idw(dense, radius=2.0, count=3, exp=1.0, cols=64, rows=64)
+    return out.filter(F.col("value").isNotNull()).select(
+        "cell_col", "cell_row", F.round("value", 6).alias("value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grid_stats": _q_grid_stats,
@@ -417,6 +568,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh": _q_ann_lsh,
+        "smooth3": _q_smooth3,
+        "local_max": _q_local_max,
+        "raster_diff": _q_raster_diff,
+        "normalize_grid": _q_normalize_grid,
+        "spectral": _q_spectral,
+        "flood_label": _q_flood_label,
+        "feather_alpha": _q_feather_alpha,
+        "void_fill": _q_void_fill,
     }
 
 
@@ -748,4 +907,90 @@ def oracle_sql() -> dict[str, str]:
            COUNT(*) AS n_merged
     FROM grouped GROUP BY key, interval_id
     """
+    # ---- raster focal / global ops over the derived mean-z raster ----
+    _RASTER_CTE = (
+        f"{_CELLS_CTE}, "
+        "raster AS (SELECT cell_col, cell_row, AVG(z) AS value "
+        "FROM cells GROUP BY cell_col, cell_row)"
+    )
+    _OFFS = (
+        "offs AS (SELECT a.dx, b.dy FROM (VALUES (-1),(0),(1)) a(dx), "
+        "(VALUES (-1),(0),(1)) b(dy))"
+    )
+
+    sqls["smooth3"] = f"""
+    {_RASTER_CTE}, {_OFFS},
+    contrib AS (
+      SELECT r.cell_col + o.dx AS tcol, r.cell_row + o.dy AS trow,
+             r.value * (1.0/(2.0*PI()*0.64)) *
+               EXP(-((o.dx*o.dx + o.dy*o.dy) / 1.28)) AS wv
+      FROM raster r CROSS JOIN offs o),
+    agg AS (SELECT tcol, trow, SUM(wv) AS s, COUNT(*) AS n
+            FROM contrib GROUP BY tcol, trow)
+    SELECT tcol AS cell_col, trow AS cell_row, ROUND(s, 6) AS smoothed
+    FROM agg
+    WHERE n = 9 AND tcol BETWEEN 1 AND 61 AND trow BETWEEN 1 AND 61
+    """
+
+    sqls["local_max"] = f"""
+    {_RASTER_CTE}, {_OFFS},
+    contrib AS (
+      SELECT r.cell_col + o.dx AS tcol, r.cell_row + o.dy AS trow,
+        CASE WHEN o.dx = 0 AND o.dy = 0 THEN r.value END AS center_v,
+        CASE WHEN NOT (o.dx = 0 AND o.dy = 0)
+              AND (o.dy > 0 OR (o.dy = 0 AND o.dx > 0)) THEN r.value END AS before_v,
+        CASE WHEN NOT (o.dx = 0 AND o.dy = 0)
+              AND NOT (o.dy > 0 OR (o.dy = 0 AND o.dx > 0)) THEN r.value END AS after_v
+      FROM raster r CROSS JOIN offs o),
+    agg AS (SELECT tcol, trow, MAX(center_v) AS c, MAX(before_v) AS b,
+                   MAX(after_v) AS a
+            FROM contrib GROUP BY tcol, trow)
+    SELECT CAST(tcol * 4294967296 + trow AS BIGINT) AS top_id,
+           tcol AS cell_col, trow AS cell_row, ROUND(c, 6) AS z
+    FROM agg
+    WHERE c IS NOT NULL AND c >= 20.0 AND c > 0
+      AND (b IS NULL OR b < c) AND (a IS NULL OR a <= c)
+      AND tcol BETWEEN 1 AND 61 AND trow BETWEEN 1 AND 61
+    """
+
+    sqls["raster_diff"] = f"""
+    {_CELLS_CTE},
+    ra AS (SELECT cell_col, cell_row, AVG(z) AS value
+           FROM cells GROUP BY cell_col, cell_row),
+    rb AS (SELECT cell_col, cell_row, MAX(z) AS value
+           FROM cells GROUP BY cell_col, cell_row),
+    j AS (SELECT ra.cell_col, ra.cell_row, ra.value - rb.value AS d
+          FROM ra JOIN rb USING (cell_col, cell_row))
+    SELECT 'a' AS rid0, 'b' AS rid1,
+           CAST(cell_col % 4 AS INTEGER) AS cls,
+           COUNT(d) AS cnt,
+           ROUND(SUM(d), 6) AS dsum,
+           ROUND(MIN(d), 6) AS dmin,
+           ROUND(MAX(d), 6) AS dmax,
+           ROUND(AVG(d), 6) AS dmean,
+           ROUND(VAR_SAMP(d), 6) AS dvar,
+           ROUND(STDDEV_SAMP(d), 6) AS dstd
+    FROM j GROUP BY cls
+    """
+
+    sqls["normalize_grid"] = f"""
+    {_RASTER_CTE},
+    mu AS (SELECT SUM(value) / 4096.0 AS mu FROM raster),
+    sd AS (SELECT SQRT(SUM((value - mu.mu) * (value - mu.mu))) AS s
+           FROM raster, mu)
+    SELECT cell_col, cell_row,
+           ROUND((value - mu.mu) / sd.s, 6) AS nvalue
+    FROM raster, mu, sd
+    """
+
+    sqls["spectral"] = f"""
+    {_CELLS_CTE},
+    agg AS (SELECT cell_col, cell_row, AVG(z) AS b1, MAX(z) AS b2,
+                   CAST(COUNT(z) AS DOUBLE) AS b3
+            FROM cells GROUP BY cell_col, cell_row)
+    SELECT cell_col, cell_row,
+           ROUND(b1, 6) AS band1, ROUND(b2, 6) AS band2, ROUND(b3, 6) AS band3
+    FROM agg WHERE b3 >= 2
+    """
+
     return sqls

@@ -52,11 +52,13 @@ def cosine_topk(
         F.sqrt(_norm2_expr(F.col(vec_col))) * F.lit(qnorm)
     )
     scored = embeddings.select(id_col, F.round(cos, 6).alias("cosine"))
+    # orderBy+limit compiles to TakeOrderedAndProject: each partition keeps
+    # its local top-k and only k rows per partition reach the driver-side
+    # merge — no global single-partition shuffle. The rank window then runs
+    # over exactly k rows, so its single partition is intentional and tiny.
+    topk = scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
     w = Window.orderBy(F.desc("cosine"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
