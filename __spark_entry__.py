@@ -546,6 +546,29 @@ def _q_void_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_csrs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M5 las2csrs datum/epoch transform (golden-case parity in
+    tests/test_csrs.py); rows-only driver check — the NAD83v6VG grid
+    sampling is not SQL-expressible."""
+    from geotools_spark.operators.csrs import las2csrs
+
+    pts = derive.points_df(spark, sf_dir).select(
+        "pid",
+        (F.col("x") * 1000.0 + 440000.0).alias("x"),
+        (F.col("y") * 1000.0 + 6480000.0).alias("y"),
+        "z",
+    )
+    out = las2csrs(
+        pts, ffrom="itrf2000", efrom=1986.0, eto=2011.0, fsrid=26912, tsrid=2956
+    )
+    return out.select(
+        "pid",
+        F.round("x", 4).alias("x"),
+        F.round("y", 4).alias("y"),
+        F.round("z", 4).alias("z"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grid_stats": _q_grid_stats,
@@ -576,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flood_label": _q_flood_label,
         "feather_alpha": _q_feather_alpha,
         "void_fill": _q_void_fill,
+        "csrs_transform": _q_csrs_transform,
     }
 
 
