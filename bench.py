@@ -59,6 +59,93 @@ def flagship_docs_pipeline(spark, n_docs: int):
     return grid, tiles
 
 
+def _run_flagship_cluster(execs: int, cores_each: int, n_docs: int, trials: int) -> list[float]:
+    """Run the flagship pipeline ``trials`` times on a fresh
+    local-cluster[execs, cores_each, mem] session — REAL executor JVM
+    processes, the faithful emulation of cluster sizes N and 4N
+    executors in this sandbox. Returns wall seconds per trial."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = (
+        SparkSession.builder.master(f"local-cluster[{execs},{cores_each},4096]")
+        .appName(f"geotools-scaling-{execs}x{cores_each}")
+        .config("spark.executor.memory", "4g")
+        .config("spark.sql.shuffle.partitions", str(execs * cores_each * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    # warm-up: executor launch, JIT, python workers — outside timing
+    grid, tiles = flagship_docs_pipeline(spark, max(n_docs // 20, 1000))
+    _materialize(grid)
+    _materialize(tiles)
+    walls = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        grid, tiles = flagship_docs_pipeline(spark, n_docs)
+        _materialize(grid)
+        _materialize(tiles)
+        walls.append(time.perf_counter() - t0)
+    spark.stop()
+    return walls
+
+
+def scaling_main() -> None:
+    """SPARK_GRAFT_SCALING=1: same job, same input, N vs 4N EXECUTORS
+    (separate JVM processes via Spark's local-cluster mode — not
+    threads, so no shared-heap ceiling); prints one JSON line with
+    throughputs and efficiency = (thr_4N / thr_N) / 4.
+
+    Sizing rationale (measured on this box): the hypervisor delivers
+    ~25 effective cores under full 32-way load (CPU steal + scheduling,
+    /proc/stat), so the two levels are 1x4 and 4x4 cores — both inside
+    the host's honest delivery range. Single-shot wall clocks are still
+    steal-noisy, so each level runs SPARK_GRAFT_SCALING_TRIALS trials
+    over SPARK_GRAFT_SCALING_ROUNDS alternating rounds and is scored by
+    its MINIMUM (the least-stolen run); all trials are reported."""
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "2000000"))
+    execs_lo = int(os.environ.get("SPARK_GRAFT_SCALING_EXECS_LO", "1"))
+    execs_hi = int(os.environ.get("SPARK_GRAFT_SCALING_EXECS_HI", "4"))
+    cores_each = int(os.environ.get("SPARK_GRAFT_SCALING_EXEC_CORES", "4"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+    t_lo_all: list[float] = []
+    t_hi_all: list[float] = []
+    for _ in range(rounds):
+        t_lo_all += _run_flagship_cluster(execs_lo, cores_each, n_docs, trials)
+        t_hi_all += _run_flagship_cluster(execs_hi, cores_each, n_docs, trials)
+    t_lo = min(t_lo_all)
+    t_hi = min(t_hi_all)
+    thr_lo = n_docs / t_lo
+    thr_hi = n_docs / t_hi
+    eff = (thr_hi / thr_lo) / (execs_hi / execs_lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 4),
+                "unit": "ratio",
+                "docs": n_docs,
+                "executors_lo": execs_lo,
+                "executors_hi": execs_hi,
+                "cores_per_executor": cores_each,
+                "sec_lo": round(t_lo, 2),
+                "sec_hi": round(t_hi, 2),
+                "docs_per_sec_lo": round(thr_lo, 1),
+                "docs_per_sec_hi": round(thr_hi, 1),
+                "trials_lo": [round(t, 2) for t in t_lo_all],
+                "trials_hi": [round(t, 2) for t in t_hi_all],
+            }
+        )
+    )
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from geotools_spark.session import get_spark
@@ -97,5 +184,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        scaling_main()
+    else:
+        main()
     sys.exit(0)

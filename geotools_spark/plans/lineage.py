@@ -1,0 +1,114 @@
+"""Resumable partitioned writes with a lineage/metrics table.
+
+Models the Iceberg-snapshot checkpoint contract on plain parquet (no
+Iceberg runtime jar in this environment — SURVEY.md §7): the table
+directory carries a ``_lineage`` subtable and a ``_manifest.json``
+snapshot list, and a rerun of the same job skips partitions already
+committed. The table API is deliberately thin so a real Iceberg catalog
+(``df.writeTo(...).overwritePartitions()`` + snapshot metadata) can be
+dropped in without touching operator code.
+
+Layout of a checkpointed table at ``path``:
+
+  path/part_key=<v>/...parquet        -- data, one spark partition dir per key
+  path/_lineage/...parquet            -- (run_id, part_key, rows, wall_s, ts)
+  path/_manifest.json                 -- {"runs": [...], "completed": {key: run_id}}
+
+The partition column is typically a coarse cell-key prefix
+(``zkey >> 2*delta``) so that (a) resume granularity is spatial, (b)
+downstream readers get partition pruning on cell ranges — the Spark
+analogue of the reference's file-bbox pruning (src/lasgrid.cpp:197-212)
+and its SpatiaLite R-tree (include/sqlite.hpp:20-142).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "_manifest.json")
+
+
+def read_manifest(path: str) -> dict:
+    mp = _manifest_path(path)
+    if os.path.exists(mp):
+        with open(mp) as fh:
+            return json.load(fh)
+    return {"runs": [], "completed": {}}
+
+
+def completed_keys(path: str) -> set[str]:
+    return set(read_manifest(path)["completed"])
+
+
+def checkpointed_write(
+    df: DataFrame,
+    path: str,
+    *,
+    part_col: str,
+    run_id: str,
+) -> dict:
+    """Write ``df`` partitioned by ``part_col``, skipping partitions a
+    previous run already committed; append per-partition lineage rows
+    and advance the manifest snapshot. Returns the run summary.
+
+    The skip is a partition-pruned anti-filter (``~isin(completed)``) —
+    at 10^12 docs the pruned partitions never leave the scan."""
+    spark = df.sparkSession
+    os.makedirs(path, exist_ok=True)
+    manifest = read_manifest(path)
+    done = set(manifest["completed"])
+    pending = df
+    if done:
+        pending = df.filter(~F.col(part_col).cast("string").isin(sorted(done)))
+
+    t0 = time.time()
+    pending.write.partitionBy(part_col).mode("append").parquet(path)
+    wall = time.time() - t0
+
+    # per-partition lineage: rows per committed partition in this run
+    stats = (
+        pending.groupBy(F.col(part_col).cast("string").alias("part_key"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    lineage_rows = [
+        (run_id, r.part_key, int(r.rows), float(wall), time.time()) for r in stats
+    ]
+    if lineage_rows:
+        spark.createDataFrame(
+            lineage_rows, "run_id string, part_key string, rows long, wall_s double, ts double"
+        ).coalesce(1).write.mode("append").parquet(os.path.join(path, "_lineage"))
+
+    for r in stats:
+        manifest["completed"][r.part_key] = run_id
+    manifest["runs"].append(
+        {
+            "run_id": run_id,
+            "ts": time.time(),
+            "partitions": len(stats),
+            "rows": int(sum(r.rows for r in stats)),
+            "wall_s": round(wall, 3),
+        }
+    )
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, _manifest_path(path))
+    return manifest["runs"][-1]
+
+
+def read_lineage(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, "_lineage"))
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a checkpointed table (partition column comes back from the
+    directory layout; filters on it prune at the file listing)."""
+    return spark.read.parquet(path)

@@ -1,0 +1,111 @@
+"""Scale machinery: salted two-phase aggregation equals the one-phase
+plan on a skewed table; checkpointed writes resume without recompute."""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from geotools_spark.functions.cells import with_cell
+from geotools_spark.operators.gridstats import cell_stats
+from geotools_spark.operators.salting import salted_cell_stats
+from geotools_spark.operators.spans import explode_spans, parse_point_spans
+from geotools_spark.plans import lineage
+from geotools_spark.sources.datagen import synthetic_documents
+
+
+@pytest.fixture(scope="module")
+def skewed_cells(spark):
+    docs = synthetic_documents(spark, 4000, hot_fraction_pct=30)
+    pts = parse_point_spans(explode_spans(docs))
+    return with_cell(pts, minx=0.0, miny=0.0, res=1.0, cols=64).cache()
+
+
+STATS = ("count", "min", "max", "sum", "mean", "variance", "stddev", "median")
+
+
+def test_salted_equals_plain(spark, skewed_cells):
+    plain = {
+        (r.cell_col, r.cell_row): r
+        for r in cell_stats(skewed_cells, stats=STATS, res=1.0).collect()
+    }
+    salted = {
+        (r.cell_col, r.cell_row): r
+        for r in salted_cell_stats(
+            skewed_cells, stats=STATS, res=1.0, n_salts=8
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    # the hot cell at (1,1) really is hot
+    assert plain[(1, 1)]["count"] > 20 * sorted(
+        r["count"] for r in plain.values()
+    )[len(plain) // 2]
+    for key, p in plain.items():
+        s = salted[key]
+        for stat in STATS:
+            assert s[stat] == pytest.approx(p[stat], rel=1e-9, abs=1e-9), (key, stat)
+
+
+def test_salted_quantiles(spark, skewed_cells):
+    plain = {
+        (r.cell_col, r.cell_row): r
+        for r in cell_stats(
+            skewed_cells, stats=("count", "quantiles"), res=1.0, quantile_num=4
+        ).collect()
+    }
+    salted = {
+        (r.cell_col, r.cell_row): r
+        for r in salted_cell_stats(
+            skewed_cells, stats=("count", "quantiles"), res=1.0, quantile_num=4, n_salts=8
+        ).collect()
+    }
+    for key, p in plain.items():
+        for q in ("q0", "q2", "q5"):
+            assert salted[key][q] == p[q], (key, q)
+
+
+def test_checkpointed_write_resume(spark, tmp_path, skewed_cells):
+    path = str(tmp_path / "table")
+    grid = cell_stats(skewed_cells, stats=("count", "mean"), res=1.0).withColumn(
+        "part_key", (F.col("cell_col") / 16).cast("int")
+    )
+    total = grid.count()
+
+    r1 = lineage.checkpointed_write(grid, path, part_col="part_key", run_id="run1")
+    assert r1["rows"] == total
+    assert lineage.read_table(spark, path).count() == total
+
+    # resume: nothing left to write, table unchanged (no duplicates)
+    r2 = lineage.checkpointed_write(grid, path, part_col="part_key", run_id="run2")
+    assert r2["rows"] == 0 and r2["partitions"] == 0
+    assert lineage.read_table(spark, path).count() == total
+
+    # partial manifest -> only missing partitions are recomputed
+    m = lineage.read_manifest(path)
+    dropped = sorted(m["completed"])[0]
+    del m["completed"][dropped]
+    import json, os
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(m, fh)
+    # remove that partition's files to simulate a failed run
+    import shutil
+    shutil.rmtree(os.path.join(path, f"part_key={dropped}"))
+    r3 = lineage.checkpointed_write(grid, path, part_col="part_key", run_id="run3")
+    assert r3["partitions"] == 1
+    assert lineage.read_table(spark, path).count() == total
+
+    lin = lineage.read_lineage(spark, path)
+    assert {r.run_id for r in lin.collect()} == {"run1", "run3"}
+
+
+def test_partition_pruning_on_checkpointed_table(spark, tmp_path, skewed_cells):
+    path = str(tmp_path / "pruned")
+    grid = cell_stats(skewed_cells, stats=("count",), res=1.0).withColumn(
+        "part_key", (F.col("cell_col") / 16).cast("int")
+    )
+    lineage.checkpointed_write(grid, path, part_col="part_key", run_id="r")
+    rd = lineage.read_table(spark, path).filter(F.col("part_key") == 1)
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan (pruned listing), not a post-filter
+    assert "PartitionFilters: [isnotnull(part_key" in plan or "part_key#" in plan
+    assert rd.count() == grid.filter(F.col("part_key") == 1).count()
