@@ -569,6 +569,78 @@ def _q_csrs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- lasreclass / lasmerge ops
+
+
+def _q_class_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.reclass import class_remap
+
+    pts = derive.points_df(spark, sf_dir)
+    out = class_remap(pts, {0: 2, 7: 1})
+    return out.groupBy("cls").agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.col("cls").cast("int").alias("cls"), "cnt"
+    )
+
+
+def _q_flight_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: sessionize the cls=0 time stream into flight segments (gap
+    rule, src/lasreclass.cpp:344-358), then interval-join every point
+    to its segment (0 = no line). Output: per-line point counts."""
+    from pyspark.sql.window import Window
+
+    from geotools_spark.operators.reclass import assign_flight_line
+
+    pts = derive.points_df(spark, sf_dir)
+    # segment side is the aggregated DISTINCT time stream — small by
+    # construction, so the single-partition window is intentional
+    times = pts.filter(F.col("cls") == 0).select("gps_time").distinct()
+    w = Window.orderBy("gps_time")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("gps_time").over(w)
+    flag = F.when(prev.isNull() | ((F.col("gps_time") - prev) > 25.0), 1).otherwise(0)
+    segs = (
+        times.withColumn("sid", F.sum(flag).over(wsum))
+        .groupBy("sid")
+        .agg(F.min("gps_time").alias("m_start"), F.max("gps_time").alias("m_end"))
+        .select(F.col("sid").cast("long").alias("seg_id"), "m_start", "m_end")
+    )
+    out = assign_flight_line(pts, segs)
+    return out.groupBy("line_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("gps_time").alias("t0"),
+        F.max("gps_time").alias("t1"),
+    )
+
+
+def _q_las_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.merge import header_stats, merge_points
+
+    pts = derive.points_df(spark, sf_dir)
+    a = pts.filter(F.col("pid") % 2 == 0)
+    b = pts.filter(F.col("pid") % 2 == 1)
+    merged = merge_points([a, b], bounds=(8.0, 8.0, 56.0, 56.0))
+    return header_stats(merged)
+
+
+def _q_direction_flips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 direction-flip reclass; stateful per-line queue algorithm —
+    rows-only driver check (reference-transcription oracle in
+    tests/test_reclass.py)."""
+    from geotools_spark.operators.reclass import direction_flip_reclass
+
+    pts = derive.points_df(spark, sf_dir).withColumn(
+        "line_id", (F.col("pid") % 8).cast("int")
+    )
+    # densify the synthetic time axis so inter-point gaps stay below the
+    # 0.4 s queue-flush threshold (src/lasreclass.cpp:229) and windows fill
+    pts = pts.withColumn("gps_time", F.col("gps_time") / 1000.0 + F.col("pid") / 1e13)
+    out = direction_flip_reclass(pts)
+    return out.groupBy("line_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.when(F.col("cls") == 31, 1)).alias("n31"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grid_stats": _q_grid_stats,
@@ -600,6 +672,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feather_alpha": _q_feather_alpha,
         "void_fill": _q_void_fill,
         "csrs_transform": _q_csrs_transform,
+        "class_remap": _q_class_remap,
+        "flight_lines": _q_flight_lines,
+        "las_merge": _q_las_merge,
+        "direction_flips": _q_direction_flips,
     }
 
 
@@ -1005,6 +1081,54 @@ def oracle_sql() -> dict[str, str]:
     SELECT cell_col, cell_row,
            ROUND((value - mu.mu) / sd.s, 6) AS nvalue
     FROM raster, mu, sd
+    """
+
+    sqls["class_remap"] = f"""
+    WITH pts AS ({derive.POINTS_CTE})
+    SELECT CAST(CASE WHEN cls = 0 THEN 2 WHEN cls = 7 THEN 1 ELSE cls END
+                AS INTEGER) AS cls,
+           COUNT(*) AS cnt
+    FROM pts GROUP BY 1
+    """
+
+    sqls["flight_lines"] = f"""
+    WITH pts AS ({derive.POINTS_CTE}),
+    times AS (SELECT DISTINCT gps_time FROM pts WHERE cls = 0),
+    flagged AS (
+      SELECT gps_time,
+             CASE WHEN LAG(gps_time) OVER (ORDER BY gps_time) IS NULL
+                    OR gps_time - LAG(gps_time) OVER (ORDER BY gps_time) > 25.0
+                  THEN 1 ELSE 0 END AS f
+      FROM times),
+    sess AS (SELECT gps_time,
+                    SUM(f) OVER (ORDER BY gps_time ROWS UNBOUNDED PRECEDING) AS sid
+             FROM flagged),
+    segs AS (SELECT CAST(sid AS BIGINT) AS seg_id,
+                    MIN(gps_time) AS m_start, MAX(gps_time) AS m_end
+             FROM sess GROUP BY sid),
+    joined AS (
+      SELECT p.gps_time, COALESCE(s.seg_id, 0) AS line_id
+      FROM pts p LEFT JOIN segs s
+        ON p.gps_time >= s.m_start AND p.gps_time <= s.m_end)
+    SELECT line_id, COUNT(*) AS cnt, MIN(gps_time) AS t0, MAX(gps_time) AS t1
+    FROM joined GROUP BY line_id
+    """
+
+    sqls["las_merge"] = f"""
+    WITH pts AS ({derive.POINTS_CTE}),
+    merged AS (
+      SELECT * FROM pts
+      WHERE x >= 8.0 AND x <= 56.0 AND y >= 8.0 AND y <= 56.0)
+    SELECT COUNT(*) AS n_points,
+           MIN(x) AS minx, MAX(x) AS maxx,
+           MIN(y) AS miny, MAX(y) AS maxy,
+           MIN(z) AS minz, MAX(z) AS maxz,
+           COUNT(*) FILTER (WHERE return_num = 1) AS r1,
+           COUNT(*) FILTER (WHERE return_num = 2) AS r2,
+           COUNT(*) FILTER (WHERE return_num = 3) AS r3,
+           COUNT(*) FILTER (WHERE return_num = 4) AS r4,
+           COUNT(*) FILTER (WHERE return_num = 5) AS r5
+    FROM merged
     """
 
     sqls["spectral"] = f"""
