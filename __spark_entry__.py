@@ -641,6 +641,94 @@ def _q_direction_flips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- terrain / interp
+
+
+def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small deterministic sample side for interpolator queries."""
+    return derive.points_df(spark, sf_dir).filter(F.col("pid") % 211 == 0)
+
+
+def _query_grid(spark: SparkSession) -> DataFrame:
+    return (
+        spark.range(32 * 32)
+        .select(
+            ((F.col("id") % 32) * 2.0 + 1.0).alias("qx"),
+            (F.floor(F.col("id") / 32) * 2.0 + 1.0).alias("qy"),
+        )
+    )
+
+
+def _q_plane_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.terrain import planar_interpolate
+
+    out = planar_interpolate(_samples(spark, sf_dir), _query_grid(spark))
+    return out.select("qx", "qy", F.round("plane_z", 6).alias("plane_z"))
+
+
+def _q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.terrain import variogram_cloud
+
+    out = variogram_cloud(_samples(spark, sf_dir))
+    return out.select(F.round("dist", 6).alias("dist"), F.round("gamma", 6).alias("gamma"))
+
+
+def _q_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 kriging; driver-side factorization + Arrow batches —
+    rows-only check (exactness properties in tests/test_terrain.py)."""
+    from geotools_spark.operators.terrain import simple_kriging
+
+    out = simple_kriging(
+        _samples(spark, sf_dir),
+        _query_grid(spark),
+        nugget=0.0,
+        sill=30.0,
+        vrange=25.0,
+    )
+    return out.select("qx", "qy", F.round("kriged", 6).alias("kriged"))
+
+
+def _q_normalize_heights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6/M7 pointnormalize; local Delaunay TIN — rows-only check."""
+    from geotools_spark.operators.terrain import normalize_heights
+
+    pts = derive.points_df(spark, sf_dir)
+    # res sized so cell+halo groups stay small: the numpy Bowyer-Watson
+    # is O(n^2)-ish per group, and group count x small-n parallelizes
+    out = normalize_heights(pts, res=2.0, rings=1, ground_cls=2)
+    return out.select("pid", F.round("z_norm", 6).alias("z_norm"))
+
+
+def _q_rugosity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 ACR rugosity per 8x8 cell; Delaunay — rows-only check."""
+    from geotools_spark.operators.terrain import rugosity
+
+    pts = derive.points_df(spark, sf_dir).select(
+        "x", "y", "z",
+        F.floor(F.col("x") / 2.0).alias("cell_col"),
+        F.floor(F.col("y") / 2.0).alias("cell_row"),
+    )
+    out = rugosity(pts)
+    return out.select("cell_col", "cell_row", F.round("acr", 6).alias("acr"))
+
+
+def _q_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 lasboundary alpha-shape edges; Delaunay — rows-only check."""
+    from geotools_spark.operators.terrain import boundary_edges
+
+    pts = derive.points_df(spark, sf_dir).filter(
+        (F.col("x") < 32.0) & (F.col("y") < 32.0) & (F.col("cls") <= 2)
+    )
+    out = boundary_edges(pts, res=2.0, max_edge=8.0)
+    return out.select(
+        F.round("x0", 6).alias("x0"),
+        F.round("y0", 6).alias("y0"),
+        F.round("x1", 6).alias("x1"),
+        F.round("y1", 6).alias("y1"),
+        F.round("length", 6).alias("length"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grid_stats": _q_grid_stats,
@@ -676,6 +764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flight_lines": _q_flight_lines,
         "las_merge": _q_las_merge,
         "direction_flips": _q_direction_flips,
+        "plane_fit": _q_plane_fit,
+        "variogram": _q_variogram,
+        "kriging": _q_kriging,
+        "normalize_heights": _q_normalize_heights,
+        "rugosity": _q_rugosity,
+        "boundary": _q_boundary,
     }
 
 
@@ -1081,6 +1175,40 @@ def oracle_sql() -> dict[str, str]:
     SELECT cell_col, cell_row,
            ROUND((value - mu.mu) / sd.s, 6) AS nvalue
     FROM raster, mu, sd
+    """
+
+    # plane fit: with the centered design matrix the normal equations go
+    # block-diagonal (sum(x-cx) = 0), so a0 = mean(z) and (a1, a2) solve a
+    # 2x2 system -> Cramer's rule in plain SQL.
+    sqls["plane_fit"] = f"""
+    WITH pts AS ({derive.POINTS_CTE}),
+    s AS (SELECT x, y, z FROM pts WHERE pid % 211 = 0),
+    c AS (SELECT AVG(x) AS cx, AVG(y) AS cy, AVG(z) AS a0 FROM s),
+    m AS (SELECT
+            SUM((x - cx) * (x - cx)) AS sxx,
+            SUM((x - cx) * (y - cy)) AS sxy,
+            SUM((y - cy) * (y - cy)) AS syy,
+            SUM((x - cx) * z) AS szx,
+            SUM((y - cy) * z) AS szy
+          FROM s, c),
+    p AS (SELECT
+            (szx * syy - szy * sxy) / (sxx * syy - sxy * sxy) AS a1,
+            (szy * sxx - szx * sxy) / (sxx * syy - sxy * sxy) AS a2
+          FROM m),
+    q AS (SELECT CAST(i % 32 AS DOUBLE) * 2.0 + 1.0 AS qx,
+                 CAST(i // 32 AS DOUBLE) * 2.0 + 1.0 AS qy
+          FROM range(1024) t(i))
+    SELECT qx, qy, ROUND(a0 + (qx - cx) * a1 + (qy - cy) * a2, 6) AS plane_z
+    FROM q, c, p
+    """
+
+    sqls["variogram"] = f"""
+    WITH pts AS ({derive.POINTS_CTE}),
+    s AS (SELECT x, y, z FROM pts WHERE pid % 211 = 0)
+    SELECT ROUND(SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6) AS dist,
+           ROUND((a.z - b.z) * (a.z - b.z) / 2.0, 6) AS gamma
+    FROM s a, s b
+    WHERE NOT (a.x = b.x AND a.y = b.y AND a.z = b.z)
     """
 
     sqls["class_remap"] = f"""

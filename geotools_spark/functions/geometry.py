@@ -1,0 +1,271 @@
+"""Computational-geometry kernels in pure NumPy (SURVEY.md §2.9
+M6-M10) — CGAL/GEOS/scipy are not installed in this environment, and
+the per-group sizes these run at (points of one cell + halo) keep the
+O(n^2)-ish constants irrelevant.
+
+- Delaunay: Bowyer-Watson with a super-triangle, vectorized
+  circumcircle tests (replaces CGAL Delaunay_triangulation_2 projected
+  on xy — src/pointnormalize.cpp:25-31; GEOS
+  DelaunayTriangulationBuilder — src/lasboundary.cpp:177-183).
+- convex hull: Andrew monotone chain (replaces CGAL convex_hull_2 —
+  include/cellstats.hpp:454).
+- plane fit: centroid-offset normal equations, exactly the reference's
+  Eigen computeParams (src/interp/Interpolators.cpp:468-496); plus the
+  PCA (orthogonal) plane CGAL's linear_least_squares_fitting_3 computes
+  for rugosity (include/cellstats.hpp:455).
+- TIN interpolation: the reference's 3D-Heron-area barycentric weights
+  INCLUDING the quirk that sub-triangle areas use the query point's own
+  z (src/pointnormalize.cpp:35-41,135-146).
+- rugosity ACR (Du Preez 2014): Delaunay 3D surface area / projected
+  best-fit-plane hull area (include/cellstats.hpp:378-462).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def delaunay(xy: np.ndarray) -> np.ndarray:
+    """Bowyer-Watson Delaunay triangulation of 2-D points.
+
+    Returns int array (ntri, 3) of indices into ``xy``. Degenerate
+    inputs (<3 points, collinear) return an empty array.
+    """
+    n = len(xy)
+    if n < 3:
+        return np.empty((0, 3), dtype=np.int64)
+    xy = np.asarray(xy, dtype=np.float64)
+    # super-triangle comfortably containing everything
+    cx, cy = xy[:, 0].mean(), xy[:, 1].mean()
+    span = max(xy[:, 0].ptp(), xy[:, 1].ptp(), 1e-9) * 64.0
+    sup = np.array(
+        [[cx - span, cy - span / 2], [cx + span, cy - span / 2], [cx, cy + span]]
+    )
+    pts = np.vstack([xy, sup])
+    si = n  # super vertex base index
+    tris: list[tuple[int, int, int]] = [(si, si + 1, si + 2)]
+    # cached circumcircles, row-aligned with tris
+    ccs: list[tuple[float, float, float]] = [_circumcircle(pts, tris[0])]
+
+    order = np.argsort(pts[:n, 0], kind="mergesort")  # x-sweep improves locality
+    for p in order:
+        px, py = pts[p]
+        t_arr = np.asarray(ccs)
+        bad = (t_arr[:, 0] - px) ** 2 + (t_arr[:, 1] - py) ** 2 <= t_arr[:, 2]
+        bad_idx = np.nonzero(bad)[0]
+        if len(bad_idx) == 0:
+            continue  # numerically outside everything: skip (degenerate dup)
+        # boundary of the cavity = edges appearing exactly once
+        edge_count: dict[tuple[int, int], tuple[int, int]] = {}
+        for ti in bad_idx:
+            a, b, c = tris[ti]
+            for e in ((a, b), (b, c), (c, a)):
+                k = (min(e), max(e))
+                if k in edge_count:
+                    del edge_count[k]
+                else:
+                    edge_count[k] = e
+        keep = [t for i, t in enumerate(tris) if not bad[i]]
+        keep_cc = [c for i, c in enumerate(ccs) if not bad[i]]
+        for e in edge_count.values():
+            t = (e[0], e[1], int(p))
+            keep.append(t)
+            keep_cc.append(_circumcircle(pts, t))
+        tris, ccs = keep, keep_cc
+
+    out = [t for t in tris if max(t) < n]
+    return np.asarray(out, dtype=np.int64).reshape(-1, 3)
+
+
+def _circumcircle(pts: np.ndarray, tri) -> tuple[float, float, float]:
+    """(cx, cy, r^2) of the circumcircle; degenerate -> huge circle so
+    collinear temporaries stay insertable."""
+    ax, ay = pts[tri[0]]
+    bx, by = pts[tri[1]]
+    cx_, cy_ = pts[tri[2]]
+    d = 2.0 * (ax * (by - cy_) + bx * (cy_ - ay) + cx_ * (ay - by))
+    if abs(d) < 1e-30:
+        return (0.0, 0.0, np.inf)
+    ux = (
+        (ax * ax + ay * ay) * (by - cy_)
+        + (bx * bx + by * by) * (cy_ - ay)
+        + (cx_ * cx_ + cy_ * cy_) * (ay - by)
+    ) / d
+    uy = (
+        (ax * ax + ay * ay) * (cx_ - bx)
+        + (bx * bx + by * by) * (ax - cx_)
+        + (cx_ * cx_ + cy_ * cy_) * (bx - ax)
+    ) / d
+    r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+    return (float(ux), float(uy), float(r2))
+
+
+def convex_hull(xy: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns CCW hull indices."""
+    xy = np.asarray(xy, dtype=np.float64)
+    n = len(xy)
+    if n < 3:
+        return np.arange(n, dtype=np.int64)
+    order = np.lexsort((xy[:, 1], xy[:, 0]))
+
+    def cross(o, a, b):
+        return (xy[a, 0] - xy[o, 0]) * (xy[b, 1] - xy[o, 1]) - (
+            xy[a, 1] - xy[o, 1]
+        ) * (xy[b, 0] - xy[o, 0])
+
+    lower: list[int] = []
+    for i in order:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], i) <= 0:
+            lower.pop()
+        lower.append(int(i))
+    upper: list[int] = []
+    for i in order[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], i) <= 0:
+            upper.pop()
+        upper.append(int(i))
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.int64)
+
+
+def heron_area_3d(p1, p2, p3) -> np.ndarray:
+    """3-D triangle area via Heron's formula, elementwise over stacked
+    point arrays (the reference's computeArea,
+    src/pointnormalize.cpp:35-41)."""
+    a = np.linalg.norm(np.asarray(p1) - np.asarray(p2), axis=-1)
+    b = np.linalg.norm(np.asarray(p2) - np.asarray(p3), axis=-1)
+    c = np.linalg.norm(np.asarray(p3) - np.asarray(p1), axis=-1)
+    s = (a + b + c) / 2.0
+    prod = s * (s - a) * (s - b) * (s - c)
+    return np.sqrt(np.maximum(prod, 0.0))
+
+
+def plane_fit(xyz: np.ndarray):
+    """Centroid-offset least-squares plane, the reference's
+    computeParams (src/interp/Interpolators.cpp:468-496):
+    z = a0 + a1*(x-cx) + a2*(y-cy). Returns (a0, a1, a2, cx, cy)."""
+    xyz = np.asarray(xyz, dtype=np.float64)
+    cx, cy = xyz[:, 0].mean(), xyz[:, 1].mean()
+    A = np.column_stack([np.ones(len(xyz)), xyz[:, 0] - cx, xyz[:, 1] - cy])
+    ata = A.T @ A
+    atb = A.T @ xyz[:, 2]
+    params = np.linalg.solve(ata, atb)
+    return float(params[0]), float(params[1]), float(params[2]), float(cx), float(cy)
+
+
+def pca_plane(xyz: np.ndarray):
+    """Orthogonal least-squares (PCA) plane through 3-D points — what
+    CGAL linear_least_squares_fitting_3 fits for rugosity's POBF
+    (include/cellstats.hpp:455). Returns (a, b, c, d, centroid)."""
+    xyz = np.asarray(xyz, dtype=np.float64)
+    centroid = xyz.mean(axis=0)
+    u, s, vt = np.linalg.svd(xyz - centroid, full_matrices=False)
+    normal = vt[-1]
+    d = -float(normal @ centroid)
+    return float(normal[0]), float(normal[1]), float(normal[2]), d, centroid
+
+
+def tin_interpolate(ground_xyz: np.ndarray, query_xyz: np.ndarray):
+    """Locate each query in the Delaunay TIN of ``ground_xyz`` and
+    interpolate ground z with the reference's area-weighted rule
+    (src/pointnormalize.cpp:126-146): for triangle vertices (p1,p2,p3),
+    weight of p3 = Heron3D(p1, p2, QUERY) — the sub-triangle opposite
+    p3 built with the query's own z (quirk kept). Returns (interp_z,
+    located) arrays; unlocated queries get NaN.
+    """
+    ground_xyz = np.asarray(ground_xyz, dtype=np.float64)
+    query_xyz = np.asarray(query_xyz, dtype=np.float64)
+    nq = len(query_xyz)
+    out = np.full(nq, np.nan)
+    located = np.zeros(nq, dtype=bool)
+    tris = delaunay(ground_xyz[:, :2])
+    if len(tris) == 0:
+        return out, located
+    t1 = ground_xyz[tris[:, 0]]
+    t2 = ground_xyz[tris[:, 1]]
+    t3 = ground_xyz[tris[:, 2]]
+    # vectorized point-in-triangle (sign test) for all queries x all tris
+    qx = query_xyz[:, 0][:, None]
+    qy = query_xyz[:, 1][:, None]
+
+    def sign(pa, pb):
+        return (qx - pb[None, :, 0]) * (pa[None, :, 1] - pb[None, :, 1]) - (
+            pa[None, :, 0] - pb[None, :, 0]
+        ) * (qy - pb[None, :, 1])
+
+    d1 = sign(t1, t2)
+    d2 = sign(t2, t3)
+    d3 = sign(t3, t1)
+    neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
+    pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
+    inside = ~(neg & pos)  # (nq, ntri)
+    hit = inside.argmax(axis=1)
+    has = inside.any(axis=1)
+    for qi in np.nonzero(has)[0]:
+        ti = hit[qi]
+        p = query_xyz[qi]
+        verts = ground_xyz[tris[ti]]
+        area = 0.0
+        total = 0.0
+        for i in range(3):
+            p1 = verts[i]
+            p2 = verts[(i + 1) % 3]
+            p3 = verts[(i + 2) % 3]
+            h = float(heron_area_3d(p1, p2, p))
+            area += h
+            total += h * p3[2]
+        if area > 0:
+            out[qi] = total / area
+            located[qi] = True
+    return out, located
+
+
+def delaunay_surface_area(xyz: np.ndarray) -> float:
+    """Sum of 3-D Heron areas over the xy-Delaunay faces
+    (include/cellstats.hpp:444-448)."""
+    xyz = np.asarray(xyz, dtype=np.float64)
+    tris = delaunay(xyz[:, :2])
+    if len(tris) == 0:
+        return 0.0
+    return float(
+        heron_area_3d(xyz[tris[:, 0]], xyz[tris[:, 1]], xyz[tris[:, 2]]).sum()
+    )
+
+
+def rugosity_acr(xyz: np.ndarray) -> float:
+    """Du Preez 2014 Arc-Chord Ratio (include/cellstats.hpp:435-461):
+    Delaunay 3-D surface area / area of the xy-convex-hull polygon
+    lifted onto the PCA best-fit plane (fan triangulation around the
+    3-D centroid, hull z replaced by plane z — toPlane at
+    include/cellstats.hpp:398-400)."""
+    xyz = np.asarray(xyz, dtype=np.float64)
+    if len(xyz) < 3:
+        return -9999.0
+    tarea = delaunay_surface_area(xyz)
+    hull_idx = convex_hull(xyz[:, :2])
+    hull = xyz[hull_idx]
+    a, b, c, d, centroid = pca_plane(hull)
+    if c == 0.0:
+        return -9999.0
+    hz = (hull[:, 0] * a + hull[:, 1] * b + d) / -c
+    parea = 0.0
+    m = len(hull)
+    for i in range(m):
+        j = (i + 1) % m
+        p1 = np.array([hull[i, 0], hull[i, 1], hz[i]])
+        p2 = np.array([hull[j, 0], hull[j, 1], hz[j]])
+        parea += float(heron_area_3d(p1, p2, centroid))
+    if parea <= 0:
+        return -9999.0
+    return tarea / parea
+
+
+def delaunay_edges(xy: np.ndarray) -> np.ndarray:
+    """Unique undirected edges of the Delaunay triangulation — the
+    boundary extraction input (src/lasboundary.cpp:177-194)."""
+    tris = delaunay(xy)
+    if len(tris) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    e = np.vstack(
+        [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]]
+    )
+    e.sort(axis=1)
+    return np.unique(e, axis=0)

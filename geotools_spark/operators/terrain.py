@@ -1,0 +1,358 @@
+"""Terrain operators built on the NumPy geometry kernels
+(functions/geometry.py): height normalization (pointnormalize), per-
+cell rugosity, planar / kriging interpolation, variogram, boundary
+extraction.
+
+Physical shapes:
+- normalize_heights / rugosity: groupBy(cell) + applyInPandas with a
+  ground-point HALO (ring explode) — the Spark analogue of the
+  reference's per-file Delaunay with carried-over 'repeats'
+  (src/pointnormalize.cpp:108-160). Documented deviation: the TIN is
+  local to cell+halo instead of global, so points whose containing
+  triangle spans farther than ``rings`` cells come back NULL (the
+  reference defers those to the next file's triangulation — also not
+  global).
+- planar / kriging: the sample side is SMALL by contract (the
+  reference holds all samples in memory and inverts an (n+1)^2 matrix,
+  src/interp/Interpolators.cpp:140-206) -> collect to driver, factor
+  once, broadcast; queries stream through mapInPandas in Arrow batches.
+- variogram (J11): all-pairs on the small sample side — a deliberate
+  crossJoin (src/interp/Interpolators.cpp:104-121).
+- boundary: occupancy grid + not-all-8-neighbors filter (distributed),
+  then Delaunay edge filter < max_edge over the SMALL boundary-cell
+  set (src/lasboundary.cpp:140-202).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geotools_spark.functions.geometry import (
+    delaunay_edges,
+    plane_fit,
+    rugosity_acr,
+    tin_interpolate,
+)
+
+
+def _ring_offsets_expr(n: int) -> str:
+    items = ", ".join(
+        f"struct({dx}L as dx, {dy}L as dy)"
+        for dx in range(-n, n + 1)
+        for dy in range(-n, n + 1)
+    )
+    return f"array({items})"
+
+
+def normalize_heights(
+    points: DataFrame,
+    *,
+    res: float = 10.0,
+    rings: int = 1,
+    ground_cls: int = 2,
+    drop_negative: bool = False,
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+    cls: str = "cls",
+) -> DataFrame:
+    """M6/M7 (pointnormalize): subtract the TIN-of-ground surface from
+    every non-ground point's z, clamped at 0 (src/pointnormalize.cpp:
+    126-152). Adds ``z_norm`` (NULL when the point is outside the
+    local TIN). Ground points are shipped to all cells within
+    ``rings`` (halo duplication); non-ground points stay in their home
+    cell."""
+    home_c = F.floor(F.col(x) / F.lit(res))
+    home_r = F.floor(F.col(y) / F.lit(res))
+    ground = points.filter(F.col(cls) == ground_cls).select(
+        F.col(x).alias("_gx"),
+        F.col(y).alias("_gy"),
+        F.col(z).alias("_gz"),
+        F.explode(F.expr(_ring_offsets_expr(rings))).alias("off"),
+        home_c.alias("_hc"),
+        home_r.alias("_hr"),
+    ).select(
+        (F.col("_hc") + F.col("off.dx")).alias("_cell_c"),
+        (F.col("_hr") + F.col("off.dy")).alias("_cell_r"),
+        "_gx",
+        "_gy",
+        "_gz",
+    )
+    nong = points.filter(F.col(cls) != ground_cls).withColumn(
+        "_cell_c", home_c
+    ).withColumn("_cell_r", home_r)
+
+    g2 = ground.withColumn("_is_g", F.lit(True))
+    out_cols = [f.name for f in nong.schema.fields if not f.name.startswith("_cell")]
+    p2 = nong.select(
+        "*",
+        F.lit(False).alias("_is_g"),
+        F.lit(None).cast("double").alias("_gx"),
+        F.lit(None).cast("double").alias("_gy"),
+        F.lit(None).cast("double").alias("_gz"),
+    )
+    g3 = g2.select(
+        *[F.lit(None).cast(dict(zip(nong.schema.names, [f.dataType for f in nong.schema.fields]))[c]).alias(c) for c in out_cols],
+        "_cell_c",
+        "_cell_r",
+        "_is_g",
+        "_gx",
+        "_gy",
+        "_gz",
+    )
+    both = p2.select(*out_cols, "_cell_c", "_cell_r", "_is_g", "_gx", "_gy", "_gz").unionByName(g3)
+    schema_out = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in nong.schema.fields if not f.name.startswith("_")
+    ) + ", z_norm double"
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[pdf["_is_g"]]
+        p = pdf[~pdf["_is_g"]]
+        if len(p) == 0:
+            return pd.DataFrame(columns=[c for c in out_cols if not c.startswith("_")] + ["z_norm"])
+        res_df = p[[c for c in out_cols if not c.startswith("_")]].copy()
+        if len(g) >= 3:
+            ground_xyz = np.column_stack(
+                [g["_gx"].to_numpy(), g["_gy"].to_numpy(), g["_gz"].to_numpy()]
+            )
+            q = np.column_stack(
+                [p[x].to_numpy(), p[y].to_numpy(), p[z].to_numpy()]
+            )
+            interp, located = tin_interpolate(ground_xyz, q)
+            zn = np.maximum(0.0, q[:, 2] - interp)
+            zn[~located] = np.nan
+            if drop_negative:
+                neg = q[:, 2] <= 0.0
+                zn[neg] = q[neg, 2]
+        else:
+            zn = np.full(len(p), np.nan)
+        res_df["z_norm"] = zn
+        return res_df
+
+    out = both.groupBy("_cell_c", "_cell_r").applyInPandas(lambda _, pdf: _norm(pdf), schema_out)
+    return out.withColumn(
+        "z_norm", F.when(F.isnan("z_norm"), F.lit(None)).otherwise(F.col("z_norm"))
+    )
+
+
+def rugosity(
+    cells: DataFrame,
+    *,
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+    group=("cell_col", "cell_row"),
+) -> DataFrame:
+    """A12: per-cell Arc-Chord-Ratio rugosity (Du Preez 2014,
+    include/cellstats.hpp:378-462); empty/degenerate cells -> -9999."""
+    def _rug(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        xyz = np.column_stack([pdf[x].to_numpy(), pdf[y].to_numpy(), pdf[z].to_numpy()])
+        return pd.DataFrame(
+            {g: [k] for g, k in zip(group, key)} | {"acr": [rugosity_acr(xyz)]}
+        )
+
+    schema = ", ".join(f"{g} long" for g in group) + ", acr double"
+    return cells.groupBy(*group).applyInPandas(_rug, schema)
+
+
+def planar_interpolate(
+    samples: DataFrame,
+    queries: DataFrame,
+    *,
+    sx: str = "x",
+    sy: str = "y",
+    sz: str = "z",
+    qx: str = "qx",
+    qy: str = "qy",
+) -> DataFrame:
+    """M10 (PlanarInterpolator): one global least-squares plane from
+    the samples (driver-side 3x3 solve, the sample side is small by
+    contract), evaluated for every query as a pure column expression
+    (src/interp/Interpolators.cpp:509-523)."""
+    rows = samples.select(sx, sy, sz).collect()
+    xyz = np.array([[r[0], r[1], r[2]] for r in rows])
+    a0, a1, a2, cx, cy = plane_fit(xyz)
+    val = (
+        F.lit(a0)
+        + (F.col(qx) - F.lit(cx)) * F.lit(a1)
+        + (F.col(qy) - F.lit(cy)) * F.lit(a2)
+    )
+    return queries.withColumn("plane_z", val)
+
+
+def variogram_cloud(
+    samples: DataFrame,
+    *,
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+) -> DataFrame:
+    """J11/M12a: all-pairs variogram cloud (dist, gamma = (z0-z1)^2/2),
+    identical coordinates skipped (src/interp/Interpolators.cpp:
+    104-121; both ordered pairs emitted, as the reference does)."""
+    a = samples.select(F.col(x).alias("ax"), F.col(y).alias("ay"), F.col(z).alias("az"))
+    b = samples.select(F.col(x).alias("bx"), F.col(y).alias("by"), F.col(z).alias("bz"))
+    j = a.crossJoin(b).filter(~((F.col("ax") == F.col("bx")) & (F.col("ay") == F.col("by")) & (F.col("az") == F.col("bz"))))
+    dx = F.col("ax") - F.col("bx")
+    dy = F.col("ay") - F.col("by")
+    dz = F.col("az") - F.col("bz")
+    return j.select(
+        F.sqrt(dx * dx + dy * dy).alias("dist"),
+        (dz * dz / 2.0).alias("gamma"),
+    )
+
+
+def _vario_model(name: str):
+    if name == "spherical":
+        def m(h, nugget, sill, rng):
+            hr = np.minimum(h / rng, 1.0)
+            return nugget + (sill - nugget) * (1.5 * hr - 0.5 * hr**3)
+    elif name == "exponential":
+        def m(h, nugget, sill, rng):
+            return nugget + (sill - nugget) * (1.0 - np.exp(-3.0 * h / rng))
+    elif name == "gaussian":
+        def m(h, nugget, sill, rng):
+            return nugget + (sill - nugget) * (1.0 - np.exp(-3.0 * (h / rng) ** 2))
+    else:
+        raise ValueError(name)
+    return m
+
+
+def simple_kriging(
+    samples: DataFrame,
+    queries: DataFrame,
+    *,
+    nugget: float,
+    sill: float,
+    vrange: float,
+    model: str = "spherical",
+    sx: str = "x",
+    sy: str = "y",
+    sz: str = "z",
+    qx: str = "qx",
+    qy: str = "qy",
+) -> DataFrame:
+    """M12: kriging with the reference's (n+1)x(n+1) Lagrange system
+    (src/interp/Interpolators.cpp:140-206). The reference re-inverts A
+    per output cell; we factor ONCE on the driver (A is sample-sized),
+    broadcast, and evaluate every query in vectorized Arrow batches —
+    same weights, same result, none of the per-cell inversions.
+    The variogram model params come in explicitly (the reference asks
+    a Qt dialog)."""
+    rows = samples.select(sx, sy, sz).collect()
+    pts = np.array([[r[0], r[1], r[2]] for r in rows])
+    n = len(pts)
+    mfun = _vario_model(model)
+    dmat = np.sqrt(
+        (pts[:, 0][:, None] - pts[:, 0][None, :]) ** 2
+        + (pts[:, 1][:, None] - pts[:, 1][None, :]) ** 2
+    )
+    A = np.zeros((n + 1, n + 1))
+    A[:n, :n] = mfun(dmat, nugget, sill, vrange)
+    A[n, :n] = 1.0
+    A[:n, n] = 1.0
+    Ai = np.linalg.inv(A)
+    spark = samples.sparkSession
+    bc = spark.sparkContext.broadcast((pts, Ai, nugget, sill, vrange, model))
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in queries.schema.fields
+    ) + ", kriged double"
+
+    def _krige(batches):
+        spts, sAi, snug, ssill, srng, smodel = bc.value
+        sm = _vario_model(smodel)
+        zs = spts[:, 2]
+        for pdf in batches:
+            qxv = pdf[qx].to_numpy(dtype=np.float64)
+            qyv = pdf[qy].to_numpy(dtype=np.float64)
+            d = np.sqrt(
+                (qxv[:, None] - spts[:, 0][None, :]) ** 2
+                + (qyv[:, None] - spts[:, 1][None, :]) ** 2
+            )
+            b = np.ones((len(pdf), len(spts) + 1))
+            b[:, :-1] = sm(d, snug, ssill, srng)
+            w = b @ sAi.T  # (nq, n+1); last col = Lagrangian, ignored
+            out = pdf.copy()
+            out["kriged"] = w[:, :-1] @ zs
+            yield out
+
+    return queries.mapInPandas(_krige, out_schema)
+
+
+def boundary_edges(
+    points: DataFrame,
+    *,
+    res: float,
+    minx: float = 0.0,
+    miny: float = 0.0,
+    classes: tuple[int, ...] = (),
+    max_edge: float = 10.0,
+    x: str = "x",
+    y: str = "y",
+    cls: str = "cls",
+) -> DataFrame:
+    """M9 (lasboundary): occupancy grid -> cells missing any of their 8
+    neighbors (fullNeighbours, src/lasboundary.cpp:85-99) -> Delaunay
+    edges shorter than ``max_edge`` over those cell centers
+    (src/lasboundary.cpp:156-194; center y uses the reference's odd
+    ``row*res + miny - res/2``). The boundary-cell set is
+    O(perimeter), so the triangulation runs in one task; at true scale
+    split by coarse tile with halo first."""
+    p = points
+    if classes:
+        p = p.filter(F.col(cls).isin(list(classes)))
+    occ = p.select(
+        F.floor((F.col(x) - F.lit(minx)) / F.lit(res)).alias("c"),
+        F.floor((F.col(y) - F.lit(miny)) / F.lit(res)).alias("r"),
+    ).distinct()
+    nbr = occ.select(F.col("c").alias("nc"), F.col("r").alias("nr"))
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    offs_expr = "array({})".format(
+        ", ".join(f"struct({dx}L as dx, {dy}L as dy)" for dx, dy in offs)
+    )
+    ex = occ.select(
+        "c", "r", F.explode(F.expr(offs_expr)).alias("off")
+    ).select(
+        "c", "r",
+        (F.col("c") + F.col("off.dx")).alias("nc"),
+        (F.col("r") + F.col("off.dy")).alias("nr"),
+    ).join(nbr, ["nc", "nr"], "left_semi").groupBy("c", "r").agg(F.count(F.lit(1)).alias("nn"))
+    cand = occ.join(ex, ["c", "r"], "left").filter(
+        F.coalesce(F.col("nn"), F.lit(0)) < 8
+    )
+    centers = cand.select(
+        (F.col("c") * res + F.lit(minx) + res / 2.0).alias("px"),
+        (F.col("r") * res + F.lit(miny) - res / 2.0).alias("py"),
+    )
+
+    def _edges(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        xy = np.column_stack([pdf["px"].to_numpy(), pdf["py"].to_numpy()])
+        e = delaunay_edges(xy)
+        if len(e) == 0:
+            return
+        p0 = xy[e[:, 0]]
+        p1 = xy[e[:, 1]]
+        ln = np.sqrt(((p0 - p1) ** 2).sum(axis=1))
+        keep = ln < max_edge
+        yield pd.DataFrame(
+            {
+                "x0": p0[keep, 0],
+                "y0": p0[keep, 1],
+                "x1": p1[keep, 0],
+                "y1": p1[keep, 1],
+                "length": ln[keep],
+            }
+        )
+
+    return centers.coalesce(1).mapInPandas(
+        _edges, "x0 double, y0 double, x1 double, y1 double, length double"
+    )

@@ -1,0 +1,183 @@
+"""Terrain operators vs independent NumPy oracles: geometry kernel
+properties, TIN normalization, rugosity, planar/kriging interpolation,
+variogram, boundary extraction."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geotools_spark.functions import geometry as G
+from geotools_spark.operators.terrain import (
+    boundary_edges,
+    normalize_heights,
+    planar_interpolate,
+    rugosity,
+    simple_kriging,
+    variogram_cloud,
+)
+
+
+def test_delaunay_empty_circumcircle_property():
+    rs = np.random.RandomState(7)
+    xy = rs.uniform(0, 100, (120, 2))
+    tris = G.delaunay(xy)
+    assert len(tris) >= 200  # ~2n triangles
+    for t in tris:
+        cx, cy, r2 = G._circumcircle(xy, t)
+        d2 = (xy[:, 0] - cx) ** 2 + (xy[:, 1] - cy) ** 2
+        inside = d2 < r2 - 1e-9
+        inside[list(t)] = False
+        assert not inside.any()
+
+
+def test_convex_hull_matches_bruteforce():
+    rs = np.random.RandomState(8)
+    xy = rs.uniform(0, 10, (50, 2))
+    hull = G.convex_hull(xy)
+    # every point inside or on hull polygon (cross-product test)
+    hp = xy[hull]
+    for p in xy:
+        for i in range(len(hp)):
+            a, b = hp[i], hp[(i + 1) % len(hp)]
+            cross = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+            assert cross >= -1e-9
+
+
+def test_plane_fit_exact_on_plane():
+    rs = np.random.RandomState(9)
+    xy = rs.uniform(0, 10, (30, 2))
+    z = 4.0 + 0.5 * xy[:, 0] - 1.5 * xy[:, 1]
+    a0, a1, a2, cx, cy = G.plane_fit(np.column_stack([xy, z]))
+    assert a1 == pytest.approx(0.5, abs=1e-9)
+    assert a2 == pytest.approx(-1.5, abs=1e-9)
+    assert a0 + (3.0 - cx) * a1 + (7.0 - cy) * a2 == pytest.approx(
+        4.0 + 0.5 * 3.0 - 1.5 * 7.0, abs=1e-9
+    )
+
+
+def test_normalize_heights(spark):
+    rs = np.random.RandomState(10)
+    n = 300
+    xs = rs.uniform(0, 30, n)
+    ys = rs.uniform(0, 30, n)
+    ground_z = 10.0 + 0.2 * xs + 0.1 * ys
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            rows.append((i, float(xs[i]), float(ys[i]), float(ground_z[i]), 2))
+        else:
+            rows.append((i, float(xs[i]), float(ys[i]), float(ground_z[i] + 5.0 + i % 7), 1))
+    df = spark.createDataFrame(rows, "pid int, x double, y double, z double, cls int")
+    out = normalize_heights(df, res=10.0, rings=1)
+    got = {r.pid: r.z_norm for r in out.collect()}
+    located = [v for v in got.values() if v is not None]
+    assert len(located) > len(got) * 0.7  # interior points locate
+    for pid, zn in got.items():
+        if zn is None:
+            continue
+        # ground surface is a plane; the quirky weights are exact only
+        # when the query z is on the surface, so allow the quirk bias
+        want = 5.0 + pid % 7
+        assert zn == pytest.approx(want, abs=2.0)
+    # ground points themselves are not in the output
+    assert all(pid % 3 != 0 for pid in got)
+
+
+def test_normalize_heights_clamps_at_zero(spark):
+    rows = [
+        (0, 0.0, 0.0, 10.0, 2), (1, 10.0, 0.0, 10.0, 2), (2, 0.0, 10.0, 10.0, 2),
+        (3, 10.0, 10.0, 10.0, 2),
+        (4, 5.0, 5.0, 7.0, 1),  # below ground -> clamp to 0
+    ]
+    df = spark.createDataFrame(rows, "pid int, x double, y double, z double, cls int")
+    out = {r.pid: r.z_norm for r in normalize_heights(df, res=20.0, rings=1).collect()}
+    assert out[4] == 0.0
+
+
+def test_rugosity_flat_is_one(spark):
+    rs = np.random.RandomState(11)
+    rows = []
+    for cell in range(3):
+        xs = rs.uniform(cell * 10, cell * 10 + 10, 40)
+        ys = rs.uniform(0, 10, 40)
+        for i in range(40):
+            rows.append((cell, 0, float(xs[i]), float(ys[i]), float(3.0 + 0.1 * xs[i])))
+    df = spark.createDataFrame(rows, "cell_col long, cell_row long, x double, y double, z double")
+    out = {r.cell_col: r.acr for r in rugosity(df).collect()}
+    for v in out.values():
+        assert v == pytest.approx(1.0, abs=1e-6)
+
+
+def test_rugosity_rough_exceeds_one(spark):
+    rs = np.random.RandomState(12)
+    xs = rs.uniform(0, 10, 60)
+    ys = rs.uniform(0, 10, 60)
+    zs = rs.uniform(0, 8, 60)
+    rows = [(0, 0, float(xs[i]), float(ys[i]), float(zs[i])) for i in range(60)]
+    df = spark.createDataFrame(rows, "cell_col long, cell_row long, x double, y double, z double")
+    acr = rugosity(df).collect()[0].acr
+    assert acr > 1.2
+
+
+def test_planar_interpolate(spark):
+    rs = np.random.RandomState(13)
+    xy = rs.uniform(0, 10, (25, 2))
+    z = 2.0 + 0.3 * xy[:, 0] + 0.7 * xy[:, 1]
+    samples = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for (a, b), c in zip(xy, z)],
+        "x double, y double, z double",
+    )
+    queries = spark.createDataFrame([(1.0, 1.0), (8.0, 3.0)], "qx double, qy double")
+    out = {(r.qx, r.qy): r.plane_z for r in planar_interpolate(samples, queries).collect()}
+    assert out[(1.0, 1.0)] == pytest.approx(2.0 + 0.3 + 0.7, abs=1e-9)
+    assert out[(8.0, 3.0)] == pytest.approx(2.0 + 2.4 + 2.1, abs=1e-9)
+
+
+def test_variogram_cloud(spark):
+    samples = spark.createDataFrame(
+        [(0.0, 0.0, 1.0), (3.0, 4.0, 5.0), (0.0, 0.0, 1.0)],
+        "x double, y double, z double",
+    )
+    rows = variogram_cloud(samples).collect()
+    # identical-coordinate pairs skipped; (p0,p1) and (p1,p0) both kept
+    dists = sorted(round(r.dist, 6) for r in rows)
+    assert dists == [5.0, 5.0, 5.0, 5.0]
+    assert all(r.gamma == pytest.approx((5.0 - 1.0) ** 2 / 2) for r in rows)
+
+
+def test_simple_kriging_exact_at_samples_and_mean_far_away(spark):
+    pts = [(0.0, 0.0, 10.0), (10.0, 0.0, 20.0), (0.0, 10.0, 30.0), (10.0, 10.0, 40.0)]
+    samples = spark.createDataFrame(pts, "x double, y double, z double")
+    queries = spark.createDataFrame(
+        [(0.0, 0.0), (10.0, 10.0), (5.0, 5.0)], "qx double, qy double"
+    )
+    out = {
+        (r.qx, r.qy): r.kriged
+        for r in simple_kriging(
+            samples, queries, nugget=0.0, sill=10.0, vrange=20.0
+        ).collect()
+    }
+    assert out[(0.0, 0.0)] == pytest.approx(10.0, abs=1e-6)  # exact at sample
+    assert out[(10.0, 10.0)] == pytest.approx(40.0, abs=1e-6)
+    assert out[(5.0, 5.0)] == pytest.approx(25.0, abs=1e-6)  # symmetric center
+
+
+def test_boundary_edges(spark):
+    # full 10x10 block of occupied cells at res=1: boundary = ring cells
+    rows = [
+        (float(c) + 0.5, float(r) + 0.5, 1)
+        for c in range(10)
+        for r in range(10)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, cls int")
+    out = boundary_edges(df, res=1.0, max_edge=2.0).collect()
+    assert len(out) > 0
+    for e in out:
+        assert e.length < 2.0
+        # edges connect ring-cell centers: none deep inside the block
+        for px, py in ((e.x0, e.y0), (e.x1, e.y1)):
+            cc = int(px - 0.5)
+            rr = int(py + 0.5)
+            assert cc in (0, 9) or rr in (0, 9) or min(cc, rr) <= 1 or max(cc, rr) >= 8
