@@ -729,6 +729,69 @@ def _q_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tree_crowns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 crown region-growing from W2 treetops over the smoothed
+    mean-z raster (the composed treetops pipeline); bounded frontier
+    iteration — rows-only check (BFS oracle in tests/test_crowns.py)."""
+    from geotools_spark.operators.crowns import treetops_pipeline
+
+    tops, crowns = treetops_pipeline(
+        _mean_raster(spark, sf_dir),
+        cols=64,
+        rows=64,
+        min_height=20.0,
+        height_fraction=0.8,
+        radius_cells=6.0,
+    )
+    return crowns.groupBy("top_id").agg(F.count(F.lit(1)).alias("crown_cells"))
+
+
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotools_spark.operators.media import synthetic_media
+    from geotools_spark.operators.spans import explode_spans
+    from geotools_spark.sources.datagen import synthetic_documents
+
+    # media refs come from the interleaved input_hint table (the driver's
+    # documents.parquet is the flat text table used by the dedup/text ops)
+    docs = synthetic_documents(spark, 5000)
+    refs = (
+        explode_spans(docs)
+        .filter(F.col("kind") == "media")
+        .select("media_ref")
+        .distinct()
+    )
+    return synthetic_media(spark, refs)
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: binary payload decode (deterministic fake kernel,
+    real Arrow plumbing) -> per-image channel stats; rows-only check
+    (determinism + shapes pinned by tests/test_media.py)."""
+    from geotools_spark.operators.media import decode_image_stats
+
+    out = decode_image_stats(_media_table(spark, sf_dir))
+    return out.select(
+        "media_ref",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("brightness", 6).alias("brightness"),
+    )
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: video frame sampling (pure explode) + embedding
+    fold; rows-only check."""
+    from geotools_spark.operators.media import frame_sample, media_embedding
+
+    media = _media_table(spark, sf_dir)
+    frames = frame_sample(media, every_ms=500).groupBy("media_ref").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    emb = media_embedding(media, dim=8).select(
+        "media_ref", F.round(F.element_at("embedding", 1), 6).alias("e0")
+    )
+    return frames.join(emb, "media_ref", "inner")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grid_stats": _q_grid_stats,
@@ -770,6 +833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_heights": _q_normalize_heights,
         "rugosity": _q_rugosity,
         "boundary": _q_boundary,
+        "tree_crowns": _q_tree_crowns,
+        "media_decode": _q_media_decode,
+        "media_frames": _q_media_frames,
     }
 
 

@@ -1,0 +1,129 @@
+"""Streaming extension: count-based finalization equals the batch
+aggregate; incremental micro-batches keep partial state; session
+windows match the batch sessionizer."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geotools_spark.streaming.finalize import (
+    finalized_cell_stats,
+    session_window_stats,
+)
+
+
+@pytest.fixture()
+def points_dir(spark, tmp_path):
+    """Deterministic points split across two files (= two micro-batches
+    with maxFilesPerTrigger=1); some cells span both files."""
+    pts = (
+        spark.range(2000)
+        .select(
+            (F.col("id") % 16).alias("cell_col"),
+            ((F.col("id") / 16).cast("long") % 16).alias("cell_row"),
+            (F.col("id") % 97).cast("double").alias("z"),
+            (F.col("id") % 2).alias("half"),
+        )
+    )
+    path = str(tmp_path / "pts")
+    pts.filter("half = 0").drop("half").coalesce(1).write.parquet(path + "/a")
+    pts.filter("half = 1").drop("half").coalesce(1).write.parquet(path + "/b")
+    return path, pts.drop("half")
+
+
+def test_finalized_cells_match_batch(spark, points_dir, tmp_path):
+    path, pts = points_dir
+    expected = pts.groupBy("cell_col", "cell_row").agg(
+        F.count(F.lit(1)).alias("expected")
+    )
+    stream = (
+        spark.readStream.schema("cell_col long, cell_row long, z double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/*")
+    )
+    out = finalized_cell_stats(stream, expected)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fin_cells")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.cell_col, r.cell_row): r
+        for r in spark.sql("select * from fin_cells").collect()
+    }
+    want = {
+        (r.cell_col, r.cell_row): r
+        for r in pts.groupBy("cell_col", "cell_row")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("z").alias("zsum"),
+            F.min("z").alias("zmin"),
+            F.max("z").alias("zmax"),
+        )
+        .collect()
+    }
+    # every cell finalizes exactly once with the exact batch stats
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g.n == w.n
+        assert g.zsum == pytest.approx(w.zsum)
+        assert (g.zmin, g.zmax) == (w.zmin, w.zmax)
+
+
+def test_unfinalized_cells_are_withheld(spark, points_dir, tmp_path):
+    """If the expected counts demand more points than the stream
+    carries, nothing is emitted for those cells — exact completeness,
+    not a timeout."""
+    path, pts = points_dir
+    expected = pts.groupBy("cell_col", "cell_row").agg(
+        (F.count(F.lit(1)) + 5).alias("expected")  # unreachable totals
+    )
+    stream = (
+        spark.readStream.schema("cell_col long, cell_row long, z double")
+        .parquet(path + "/*")
+    )
+    out = finalized_cell_stats(stream, expected)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fin_none")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("select * from fin_none").count() == 0
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),
+            (1, "2024-01-01 03:00:00"),
+            (2, "2024-01-01 01:00:00"),
+        ],
+        "user_id int, ts string",
+    )
+    path = str(tmp_path / "ev")
+    ev.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema("user_id int, ts string").parquet(path)
+    out = session_window_stats(stream, gap="1 hour", watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_st")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select user_id, n_events from sessions_st").collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[1]) == [1, 2]  # two sessions: 2 events + 1 event
+    assert per_user[2] == [1]
