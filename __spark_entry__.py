@@ -137,6 +137,37 @@ def _q_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_grid_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A11: per-cell skewness (sample-stddev Fisher-Pearson) and
+    excess kurtosis, n>=3 cells only (degenerate cells NULL on both
+    sides of the oracle)."""
+    cells = derive.cells_df(spark, sf_dir)
+    out = gridstats.cell_stats(cells, stats=("count", "skew", "kurtosis"), res=1.0)
+    n = F.col("count")
+    return out.select(
+        "cell_col",
+        "cell_row",
+        n.cast("long").alias("cnt"),
+        F.when(n >= 3, F.round("skew", 6)).alias("zskew"),
+        F.when(n >= 3, F.round("kurtosis", 6)).alias("zkurt"),
+    )
+
+
+def _q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: per-cell quantile band filter then re-aggregate."""
+    cells = derive.cells_df(spark, sf_dir)
+    kept = gridstats.quantile_band_filter(cells, quantiles=4, q_from=1, q_to=3)
+    out = gridstats.cell_stats(kept, stats=("count", "mean", "min", "max"), res=1.0)
+    return out.select(
+        "cell_col",
+        "cell_row",
+        F.col("count").cast("long").alias("cnt"),
+        F.round("mean", 6).alias("zmean"),
+        F.col("min").alias("zmin"),
+        F.col("max").alias("zmax"),
+    )
+
+
 def _q_gap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = derive.cells_df(spark, sf_dir)
     out = gridstats.gap_fraction(cells)
@@ -797,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_stats": _q_grid_stats,
         "grid_filtered": _q_grid_filtered,
         "grid_quantiles": _q_grid_quantiles,
+        "grid_moments": _q_grid_moments,
+        "quantile_filter": _q_quantile_filter,
         "gap_fraction": _q_gap_fraction,
         "pip_join": _q_pip_join,
         "pip_clip": _q_pip_clip,
@@ -1241,6 +1274,46 @@ def oracle_sql() -> dict[str, str]:
     SELECT cell_col, cell_row,
            ROUND((value - mu.mu) / sd.s, 6) AS nvalue
     FROM raster, mu, sd
+    """
+
+    # grid moments: same raw-moment composition text as the Spark side so
+    # both engines run identical IEEE arithmetic.
+    sqls["grid_moments"] = f"""
+    {_CELLS_CTE},
+    agg AS (
+      SELECT cell_col, cell_row,
+             COUNT(z) AS n,
+             SUM(z) AS s1, SUM(z*z) AS s2, SUM(z*z*z) AS s3,
+             SUM(z*z*z*z) AS s4, AVG(z) AS m
+      FROM cells GROUP BY cell_col, cell_row),
+    mom AS (
+      SELECT cell_col, cell_row, n,
+             s2 - s1*s1/n AS m2,
+             s3 - 3.0*m*s2 + 3.0*m*m*s1 - n*m*m*m AS m3c,
+             s4 - 4.0*m*s3 + 6.0*m*m*s2 - 4.0*m*m*m*s1 + n*m*m*m*m AS m4c
+      FROM agg),
+    std AS (SELECT *, SQRT(m2 / (n - 1.0)) AS s FROM mom)
+    SELECT cell_col, cell_row, n AS cnt,
+           CASE WHEN n >= 3 THEN ROUND((m3c / n) / (s*s*s), 6) END AS zskew,
+           CASE WHEN n >= 3 THEN ROUND((m4c / n) / (s*s*s*s) - 3.0, 6) END AS zkurt
+    FROM std
+    """
+
+    sqls["quantile_filter"] = f"""
+    {_CELLS_CTE},
+    bounds AS (
+      SELECT cell_col, cell_row,
+             list_extract(list_sort(list(z)),
+               CAST(CEIL(0.2 * (COUNT(*) - 1)) AS INT) + 1) AS qlo,
+             list_extract(list_sort(list(z)),
+               CAST(CEIL(0.6 * (COUNT(*) - 1)) AS INT) + 1) AS qhi
+      FROM cells GROUP BY cell_col, cell_row),
+    kept AS (
+      SELECT c.* FROM cells c JOIN bounds b USING (cell_col, cell_row)
+      WHERE c.z > b.qlo AND c.z <= b.qhi)
+    SELECT cell_col, cell_row, COUNT(*) AS cnt,
+           ROUND(AVG(z), 6) AS zmean, MIN(z) AS zmin, MAX(z) AS zmax
+    FROM kept GROUP BY cell_col, cell_row
     """
 
     # plane fit: with the centered design matrix the normal equations go

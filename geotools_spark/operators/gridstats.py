@@ -200,6 +200,44 @@ def cell_stat_exprs(
     return out
 
 
+def quantile_band_filter(
+    points: DataFrame,
+    *,
+    value: str = "z",
+    group: Sequence[str] = ("cell_col", "cell_row"),
+    quantiles: int = 4,
+    q_from: int = 1,
+    q_to: int = 3,
+) -> DataFrame:
+    """F5: keep points whose value lies in the per-cell quantile band
+    (lo, hi] where lo/hi are the q_from-th / q_to-th quantile values by
+    the reference's ceil-index rule (src/pointzonalstats.cpp:281-294).
+
+    NOTE: the reference's own QuantileFilter.init
+    (include/cellstats.hpp:95-127) is stubbed — the std::advance calls
+    are commented out, so it degenerates to (first.z, first.z]. This
+    implements the documented INTENT (the keep predicate
+    ``z > lo && z <= hi`` at include/cellstats.hpp:105-107 applied to
+    real band bounds); the stub is cited, not reproduced.
+    """
+    v = F.col(value)
+    vals = F.sort_array(F.collect_list(v))
+    n = F.count(v)
+
+    def qval(i: int):
+        frac = float(i) / float(quantiles + 1)
+        idx = F.ceil(F.lit(frac) * (n - 1).cast("double")).cast("int")
+        return F.element_at(vals, idx + 1)
+
+    bounds = points.groupBy(*group).agg(
+        qval(q_from).alias("_qlo"), qval(q_to).alias("_qhi")
+    )
+    out = points.join(bounds, list(group), "inner").filter(
+        (v > F.col("_qlo")) & (v <= F.col("_qhi"))
+    )
+    return out.drop("_qlo", "_qhi")
+
+
 def cell_stats(
     points: DataFrame,
     *,

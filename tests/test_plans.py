@@ -1,0 +1,113 @@
+"""Physical-plan quality gates: the properties that make the engine
+scale are asserted here so they cannot regress silently.
+
+- filters/column pruning reach the parquet scan (PushedFilters /
+  ReadSchema),
+- small sides broadcast (polygons, zones, segments),
+- the grid-aggregation hot path stays inside whole-stage codegen with
+  map-side partial aggregation and NO Python (BatchEvalPython /
+  ArrowEvalPython absent),
+- distributed top-k compiles to TakeOrderedAndProject (no global
+  single-partition sort).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from geotools_spark.testkit import derive
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_pruning_reach_parquet_scan(spark):
+    pts = derive.points_df(spark, SF).filter(F.col("l_orderkey") % 1 == 0)
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 25.0)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = formatted(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity" in plan
+    # column pruning: ReadSchema carries only the two needed columns
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_comment" not in rs
+
+
+def test_grid_stats_is_pure_jvm_with_partial_agg(spark):
+    df = entry_mod.queries()["grid_stats"](spark, SF)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # partial aggregation (map-side combine) before the shuffle; the
+    # holistic median forces ObjectHashAggregate (collect_list), which
+    # is still JVM-side with partials — codegen is asserted on the
+    # algebraic path below
+    assert "partial" in plan.lower()
+    assert plan.count("Exchange") <= 2  # one shuffle for the agg
+
+
+def test_algebraic_grid_stats_whole_stage_codegen(spark):
+    from geotools_spark.operators.gridstats import cell_stats
+
+    cells = derive.cells_df(spark, SF)
+    df = cell_stats(cells, stats=("count", "min", "max", "mean", "variance"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # pure algebraic agg: codegen-capable HashAggregate (not the
+    # object-based fallback), map-side partials, exactly one shuffle,
+    # vectorized parquet scan
+    assert "HashAggregate" in plan and "ObjectHashAggregate" not in plan
+    assert "partial_" in plan
+    assert plan.count("Exchange") == 1
+    assert "Batched: true" in plan
+
+
+def test_pip_join_broadcasts_polygons(spark):
+    df = entry_mod.queries()["pip_join"](spark, SF)
+    assert "BroadcastHashJoin" in plan_of(df) or "BroadcastNestedLoopJoin" in plan_of(df)
+
+
+def test_zone_lookup_broadcasts_zones(spark):
+    df = entry_mod.queries()["zonal_stats"](spark, SF)
+    assert "Broadcast" in plan_of(df)
+
+
+def test_cosine_topk_uses_take_ordered(spark):
+    df = entry_mod.queries()["cosine_topk"](spark, SF)
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_salted_agg_two_exchanges_only(spark):
+    from geotools_spark.operators.salting import salted_cell_stats
+
+    cells = derive.cells_df(spark, SF)
+    df = salted_cell_stats(cells, stats=("count", "mean"), n_salts=8)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    # phase-1 and phase-2 shuffles, nothing more
+    assert plan.count("Exchange") <= 3
+
+
+def test_checkpointed_table_partition_pruning(spark, tmp_path):
+    from geotools_spark.plans import lineage
+
+    grid = derive.cells_df(spark, SF).groupBy("cell_col", "cell_row").count()
+    grid = grid.withColumn("part_key", (F.col("cell_col") / 16).cast("int"))
+    lineage.checkpointed_write(grid, str(tmp_path / "t"), part_col="part_key", run_id="r")
+    rd = lineage.read_table(spark, str(tmp_path / "t")).filter(F.col("part_key") == 2)
+    plan = formatted(rd)
+    # the partition filter lands in PartitionFilters, not a post-scan Filter
+    assert "PartitionFilters" in plan
+    assert "part_key" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
