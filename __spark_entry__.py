@@ -577,6 +577,47 @@ def _q_void_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_loess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOESS degree-1 (tricube local plane, closed-form Cramer in pure
+    column exprs); candidate generation by cell-ring equi-join."""
+    from geotools_spark.operators.interpolate import interpolate
+
+    samples = _samples(spark, sf_dir).select(
+        F.col("pid").alias("sid"), "x", "y", "z"
+    )
+    queries = _query_grid(spark).withColumn(
+        "qid", (F.col("qx") * 64 + F.col("qy")).cast("long")
+    )
+    out = interpolate("loess", queries, samples, bandwidth=6.0, res=2.0)
+    return out.select("qid", F.round("value", 6).alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+
+
+def _q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 mosaic: feather the overlay's data edges (iterative tanh
+    snow-in) then alpha-blend onto the base where both valid
+    (src/mosaic.cpp:56-115,330-351); rows-only check (numpy snow-in
+    oracle in tests/test_raster.py)."""
+    from geotools_spark.operators.raster import blend, feather
+
+    base = _mean_raster(spark, sf_dir)
+    # overlay: the max-z raster restricted to a sub-window (so it has
+    # real data edges to feather)
+    cells = derive.cells_df(spark, sf_dir)
+    overlay = (
+        cells.filter(
+            (F.col("cell_col") >= 16) & (F.col("cell_col") < 48)
+            & (F.col("cell_row") >= 16) & (F.col("cell_row") < 48)
+        )
+        .groupBy("cell_col", "cell_row")
+        .agg(F.max("z").alias("value"))
+    )
+    alpha = feather(overlay, distance=4.0, resolution=1.0, cols=64, rows=64)
+    out = blend(base, overlay, alpha)
+    return out.select("cell_col", "cell_row", F.round("value", 6).alias("value"))
+
+
 def _q_csrs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M5 las2csrs datum/epoch transform (golden-case parity in
     tests/test_csrs.py); rows-only driver check — the NAD83v6VG grid
@@ -709,8 +750,12 @@ def _q_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check (exactness properties in tests/test_terrain.py)."""
     from geotools_spark.operators.terrain import simple_kriging
 
+    # the Lagrange matrix inverts on the driver at O(n^3): keep the
+    # sample side ~hundreds (the reference's kriging is likewise meant
+    # for sparse control points, src/interp/Interpolators.cpp:140-206)
+    samples = derive.points_df(spark, sf_dir).filter(F.col("pid") % 997 == 0)
     out = simple_kriging(
-        _samples(spark, sf_dir),
+        samples,
         _query_grid(spark),
         nugget=0.0,
         sill=30.0,
@@ -869,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tree_crowns": _q_tree_crowns,
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
+        "mosaic": _q_mosaic,
+        "loess": _q_loess,
     }
 
 
@@ -1348,6 +1395,43 @@ def oracle_sql() -> dict[str, str]:
            ROUND((a.z - b.z) * (a.z - b.z) / 2.0, 6) AS gamma
     FROM s a, s b
     WHERE NOT (a.x = b.x AND a.y = b.y AND a.z = b.z)
+    """
+
+    sqls["loess"] = f"""
+    WITH pts AS ({derive.POINTS_CTE}),
+    s AS (SELECT x, y, z FROM pts WHERE pid % 211 = 0),
+    q AS (SELECT CAST(i % 32 AS DOUBLE) * 2.0 + 1.0 AS qx,
+                 CAST(i // 32 AS DOUBLE) * 2.0 + 1.0 AS qy
+          FROM range(1024) t(i)),
+    cand AS (
+      SELECT CAST(qx * 64 + qy AS BIGINT) AS qid, qx, qy, s.x, s.y, s.z,
+             SQRT((qx - s.x) * (qx - s.x) + (qy - s.y) * (qy - s.y)) AS dist
+      FROM q, s
+      WHERE SQRT((qx - s.x) * (qx - s.x) + (qy - s.y) * (qy - s.y)) <= 6.0),
+    agg AS (
+      SELECT qid,
+        SUM(POW(1.0 - POW(dist / 6.0, 3), 3)) AS sw,
+        SUM(POW(1.0 - POW(dist / 6.0, 3), 3) * (x - qx)) AS sx,
+        SUM(POW(1.0 - POW(dist / 6.0, 3), 3) * (y - qy)) AS sy,
+        SUM(POW(1.0 - POW(dist / 6.0, 3), 3) * (x - qx) * (x - qx)) AS sxx,
+        SUM(POW(1.0 - POW(dist / 6.0, 3), 3) * (x - qx) * (y - qy)) AS sxy,
+        SUM(POW(1.0 - POW(dist / 6.0, 3), 3) * (y - qy) * (y - qy)) AS syy,
+        SUM(POW(1.0 - POW(dist / 6.0, 3), 3) * z) AS sz,
+        SUM(POW(1.0 - POW(dist / 6.0, 3), 3) * (x - qx) * z) AS sxz,
+        SUM(POW(1.0 - POW(dist / 6.0, 3), 3) * (y - qy) * z) AS syz
+      FROM cand GROUP BY qid)
+    SELECT qid,
+      ROUND(CASE WHEN ABS(sw * (sxx * syy - sxy * sxy)
+                        - sx * (sx * syy - sxy * sy)
+                        + sy * (sx * sxy - sxx * sy)) > 1e-9
+        THEN (sz * (sxx * syy - sxy * sxy)
+              - sx * (sxz * syy - sxy * syz)
+              + sy * (sxz * sxy - sxx * syz))
+             / (sw * (sxx * syy - sxy * sxy)
+                - sx * (sx * syy - sxy * sy)
+                + sy * (sx * sxy - sxx * sy))
+        ELSE sz / sw END, 6) AS value
+    FROM agg
     """
 
     sqls["class_remap"] = f"""

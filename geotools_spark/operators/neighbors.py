@@ -100,9 +100,15 @@ def knn_join(
     q = queries.withColumn("qcell_col", F.floor(F.col(qx) / F.lit(res))).withColumn(
         "qcell_row", F.floor(F.col(qy) / F.lit(res))
     )
-    s = samples.withColumn("scell_col", F.floor(F.col(sx) / F.lit(res))).withColumn(
-        "scell_row", F.floor(F.col(sy) / F.lit(res))
-    )
+    # The probe side inherits the scan's partitioning (often just a few
+    # parquet row groups), but the join FANS OUT ~rings^2 matches per
+    # sample and the per-partition WindowGroupLimit sorts that output in
+    # the same stage — so spread the cheap input BEFORE the fan-out or
+    # three tasks end up sorting the whole candidate set.
+    par = samples.sparkSession.sparkContext.defaultParallelism * 2
+    s = samples.repartition(par).withColumn(
+        "scell_col", F.floor(F.col(sx) / F.lit(res))
+    ).withColumn("scell_row", F.floor(F.col(sy) / F.lit(res)))
     qe = q.select(
         "*", F.explode(F.expr(_offsets_expr(rings))).alias("off")
     ).select(

@@ -1,0 +1,66 @@
+"""Interpolator registry: avg/loess correctness, dispatch, documented
+natural-neighbour gap."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geotools_spark.operators.interpolate import REGISTRY, interpolate
+
+
+@pytest.fixture(scope="module")
+def sampleset(spark):
+    rs = np.random.RandomState(21)
+    xy = rs.uniform(0, 20, (300, 2))
+    z = 3.0 + 0.4 * xy[:, 0] - 0.25 * xy[:, 1]
+    rows = [
+        (i, float(xy[i, 0]), float(xy[i, 1]), float(z[i])) for i in range(len(xy))
+    ]
+    return spark.createDataFrame(rows, "sid long, x double, y double, z double")
+
+
+@pytest.fixture(scope="module")
+def queryset(spark):
+    return spark.createDataFrame(
+        [(0, 5.0, 5.0), (1, 10.0, 10.0), (2, 15.0, 7.0)],
+        "qid long, qx double, qy double",
+    )
+
+
+def plane(qx, qy):
+    return 3.0 + 0.4 * qx - 0.25 * qy
+
+
+def test_loess_recovers_plane(spark, sampleset, queryset):
+    out = {r.qid: r.value for r in interpolate("loess", queryset, sampleset, bandwidth=4.0, res=2.0).collect()}
+    want = {0: plane(5, 5), 1: plane(10, 10), 2: plane(15, 7)}
+    for qid, v in out.items():
+        assert v == pytest.approx(want[qid], abs=1e-9)  # degree-1 fit is exact on a plane
+
+
+def test_avg_is_knn_mean(spark, sampleset, queryset):
+    from geotools_spark.operators.neighbors import knn_join
+
+    out = {r.qid: r.value for r in interpolate("avg", queryset, sampleset, k=5, res=2.0).collect()}
+    knn = knn_join(queryset, sampleset, k=5, res=2.0, rings=2)
+    want = {r.qid: r["avg(z)"] for r in knn.groupBy("qid").agg(F.avg("z")).collect()}
+    for qid in want:
+        assert out[qid] == pytest.approx(want[qid])
+
+
+def test_idw_and_kriging_dispatch(spark, sampleset, queryset):
+    for name in ("idw", "kriging", "planar"):
+        out = interpolate(name, queryset, sampleset, res=2.0).collect()
+        assert len(out) == 3
+        for r in out:
+            assert r.value == pytest.approx(plane(*{0: (5, 5), 1: (10, 10), 2: (15, 7)}[r.qid]), abs=1.5)
+
+
+def test_natural_neighbour_documented_gap(spark, sampleset, queryset):
+    with pytest.raises(NotImplementedError):
+        interpolate("natural_neighbour", queryset, sampleset)
+
+
+def test_unknown_name(spark, sampleset, queryset):
+    with pytest.raises(ValueError):
+        interpolate("cubic", queryset, sampleset)
