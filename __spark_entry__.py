@@ -168,6 +168,22 @@ def _q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kurtosis_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 quirk: kurtosis over cls<=3 points with the fourth-moment
+    sum divided by the UNFILTERED cell count (include/cellstats.hpp:
+    356), one conditional-aggregation pass."""
+    cells = derive.cells_df(spark, sf_dir)
+    out = gridstats.kurtosis_prefilter(cells, F.col("cls") <= 3)
+    return out.select(
+        "cell_col",
+        "cell_row",
+        F.col("n_filtered").cast("long").alias("nf"),
+        F.col("n_all").cast("long").alias("na"),
+        F.when(F.col("n_filtered") >= 3, F.round("kurt_quirk", 6)).alias("kq"),
+        F.when(F.col("n_filtered") >= 3, F.round("kurt_std", 6)).alias("ks"),
+    )
+
+
 def _q_gap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = derive.cells_df(spark, sf_dir)
     out = gridstats.gap_fraction(cells)
@@ -875,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_quantiles": _q_grid_quantiles,
         "grid_moments": _q_grid_moments,
         "quantile_filter": _q_quantile_filter,
+        "kurtosis_quirk": _q_kurtosis_quirk,
         "gap_fraction": _q_gap_fraction,
         "pip_join": _q_pip_join,
         "pip_clip": _q_pip_clip,
@@ -1344,6 +1361,32 @@ def oracle_sql() -> dict[str, str]:
            CASE WHEN n >= 3 THEN ROUND((m3c / n) / (s*s*s), 6) END AS zskew,
            CASE WHEN n >= 3 THEN ROUND((m4c / n) / (s*s*s*s) - 3.0, 6) END AS zkurt
     FROM std
+    """
+
+    sqls["kurtosis_quirk"] = f"""
+    {_CELLS_CTE},
+    agg AS (
+      SELECT cell_col, cell_row,
+             COUNT(CASE WHEN cls <= 3 THEN z END) AS nf,
+             COUNT(*) AS na,
+             SUM(CASE WHEN cls <= 3 THEN z END) AS s1,
+             SUM(CASE WHEN cls <= 3 THEN z*z END) AS s2,
+             SUM(CASE WHEN cls <= 3 THEN z*z*z END) AS s3,
+             SUM(CASE WHEN cls <= 3 THEN z*z*z*z END) AS s4
+      FROM cells GROUP BY cell_col, cell_row),
+    mom AS (
+      SELECT *, s1 / nf AS m,
+             s2 - s1*s1/nf AS m2
+      FROM agg),
+    fin AS (
+      SELECT cell_col, cell_row, nf, na,
+             s4 - 4.0*m*s3 + 6.0*m*m*s2 - 4.0*m*m*m*s1 + nf*m*m*m*m AS m4c,
+             SQRT(m2 / (nf - 1.0)) AS s
+      FROM mom)
+    SELECT cell_col, cell_row, nf, na,
+           CASE WHEN nf >= 3 THEN ROUND((m4c / na) / (s*s*s*s) - 3.0, 6) END AS kq,
+           CASE WHEN nf >= 3 THEN ROUND((m4c / nf) / (s*s*s*s) - 3.0, 6) END AS ks
+    FROM fin
     """
 
     sqls["quantile_filter"] = f"""

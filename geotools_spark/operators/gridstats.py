@@ -200,6 +200,46 @@ def cell_stat_exprs(
     return out
 
 
+def kurtosis_prefilter(
+    points: DataFrame,
+    predicate: Column,
+    *,
+    value: str = "z",
+    group: Sequence[str] = ("cell_col", "cell_row"),
+) -> DataFrame:
+    """A11 with the reference's quirk (include/cellstats.hpp:344-361):
+    mean and sample stddev come from the FILTERED points, but the
+    fourth-moment sum divides by the UNFILTERED per-cell count
+    (``count = values.size()`` at :356). One pass of conditional
+    aggregation — no second scan for the pre-filter counts.
+
+    Output: (group..., n_filtered, n_all, kurt_quirk, kurt_std)."""
+    v = F.col(value)
+    vf = F.when(predicate, v)
+    n_f = F.count(vf)
+    n_all = F.count(F.lit(1))
+    s1, s2 = F.sum(vf), F.sum(vf * vf)
+    s3, s4 = F.sum(vf * vf * vf), F.sum(vf * vf * vf * vf)
+    nd = n_f.cast("double")
+    mean = s1 / nd
+    m2 = s2 - s1 * s1 / nd
+    m4c = (
+        s4
+        - 4.0 * mean * s3
+        + 6.0 * mean * mean * s2
+        - 4.0 * mean * mean * mean * s1
+        + nd * mean * mean * mean * mean
+    )
+    s_samp = F.sqrt(m2 / (nd - 1.0))
+    s4p = s_samp * s_samp * s_samp * s_samp
+    return points.groupBy(*[F.col(g) for g in group]).agg(
+        n_f.alias("n_filtered"),
+        n_all.alias("n_all"),
+        ((m4c / n_all.cast("double")) / s4p - 3.0).alias("kurt_quirk"),
+        ((m4c / nd) / s4p - 3.0).alias("kurt_std"),
+    )
+
+
 def quantile_band_filter(
     points: DataFrame,
     *,

@@ -54,6 +54,12 @@ def get_spark(
         # always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.maxResultSize", "2g")
+        # local mode runs everything in the driver JVM; the 1g default
+        # heap GC-thrashes under 32 executor threads (GCLocker retry
+        # failures). Only effective for the process's first JVM launch.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():
