@@ -821,6 +821,21 @@ def _q_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via sign-bit LSH buckets + exact
+    cosine filter; rows-only check (recall vs brute force pinned in
+    tests/test_pipeline_ops.py)."""
+    from geotools_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dups = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 10_000_000
+    )
+    return embedding_near_dup_pairs(
+        emb.unionByName(dups), threshold=0.999
+    )
+
+
 def _q_tree_crowns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9 crown region-growing from W2 treetops over the smoothed
     mean-z raster (the composed treetops pipeline); bounded frontier
@@ -933,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "mosaic": _q_mosaic,
         "loess": _q_loess,
+        "embed_neardup": _q_embed_neardup,
     }
 
 

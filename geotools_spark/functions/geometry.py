@@ -43,38 +43,57 @@ def delaunay(xy: np.ndarray) -> np.ndarray:
     )
     pts = np.vstack([xy, sup])
     si = n  # super vertex base index
-    tris: list[tuple[int, int, int]] = [(si, si + 1, si + 2)]
-    # cached circumcircles, row-aligned with tris
-    ccs: list[tuple[float, float, float]] = [_circumcircle(pts, tris[0])]
+    tris = np.array([[si, si + 1, si + 2]], dtype=np.int64)
+    ccs = _circumcircles(pts, tris)  # row-aligned (cx, cy, r2)
 
     order = np.argsort(pts[:n, 0], kind="mergesort")  # x-sweep improves locality
     for p in order:
         px, py = pts[p]
-        t_arr = np.asarray(ccs)
-        bad = (t_arr[:, 0] - px) ** 2 + (t_arr[:, 1] - py) ** 2 <= t_arr[:, 2]
-        bad_idx = np.nonzero(bad)[0]
-        if len(bad_idx) == 0:
+        bad = (ccs[:, 0] - px) ** 2 + (ccs[:, 1] - py) ** 2 <= ccs[:, 2]
+        if not bad.any():
             continue  # numerically outside everything: skip (degenerate dup)
-        # boundary of the cavity = edges appearing exactly once
-        edge_count: dict[tuple[int, int], tuple[int, int]] = {}
-        for ti in bad_idx:
-            a, b, c = tris[ti]
-            for e in ((a, b), (b, c), (c, a)):
-                k = (min(e), max(e))
-                if k in edge_count:
-                    del edge_count[k]
-                else:
-                    edge_count[k] = e
-        keep = [t for i, t in enumerate(tris) if not bad[i]]
-        keep_cc = [c for i, c in enumerate(ccs) if not bad[i]]
-        for e in edge_count.values():
-            t = (e[0], e[1], int(p))
-            keep.append(t)
-            keep_cc.append(_circumcircle(pts, t))
-        tris, ccs = keep, keep_cc
+        bad_tris = tris[bad]
+        # boundary of the cavity = undirected edges appearing exactly once
+        edges = np.vstack(
+            [bad_tris[:, [0, 1]], bad_tris[:, [1, 2]], bad_tris[:, [2, 0]]]
+        )
+        edges.sort(axis=1)
+        uniq, counts = np.unique(edges, axis=0, return_counts=True)
+        boundary = uniq[counts == 1]
+        new_tris = np.column_stack(
+            [boundary, np.full(len(boundary), p, dtype=np.int64)]
+        )
+        tris = np.vstack([tris[~bad], new_tris])
+        ccs = np.vstack([ccs[~bad], _circumcircles(pts, new_tris)])
 
-    out = [t for t in tris if max(t) < n]
-    return np.asarray(out, dtype=np.int64).reshape(-1, 3)
+    out = tris[(tris < n).all(axis=1)]
+    return out.astype(np.int64).reshape(-1, 3)
+
+
+def _circumcircles(pts: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """Vectorized circumcircles: (m, 3) array of (cx, cy, r^2);
+    degenerate triangles get r^2 = inf (stay insertable)."""
+    if len(tris) == 0:
+        return np.empty((0, 3))
+    a = pts[tris[:, 0]]
+    b = pts[tris[:, 1]]
+    c = pts[tris[:, 2]]
+    d = 2.0 * (
+        a[:, 0] * (b[:, 1] - c[:, 1])
+        + b[:, 0] * (c[:, 1] - a[:, 1])
+        + c[:, 0] * (a[:, 1] - b[:, 1])
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a2 = (a * a).sum(axis=1)
+        b2 = (b * b).sum(axis=1)
+        c2 = (c * c).sum(axis=1)
+        ux = (a2 * (b[:, 1] - c[:, 1]) + b2 * (c[:, 1] - a[:, 1]) + c2 * (a[:, 1] - b[:, 1])) / d
+        uy = (a2 * (c[:, 0] - b[:, 0]) + b2 * (a[:, 0] - c[:, 0]) + c2 * (b[:, 0] - a[:, 0])) / d
+        r2 = (a[:, 0] - ux) ** 2 + (a[:, 1] - uy) ** 2
+    deg = np.abs(d) < 1e-30
+    out = np.column_stack([ux, uy, r2])
+    out[deg] = [0.0, 0.0, np.inf]
+    return out
 
 
 def _circumcircle(pts: np.ndarray, tri) -> tuple[float, float, float]:

@@ -210,6 +210,56 @@ def simhash_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    bits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-bit LSH bucketing
+    turns the all-pairs scan into a per-bucket self-join, then the
+    exact cosine filter keeps pairs >= threshold. Near-identical
+    vectors land in the same bucket with high probability (each
+    hyperplane splits them with prob ~ acos(cos)/pi); recall vs the
+    brute-force scan is pinned in tests. One shuffle on bucket id;
+    bucket sizes stay ~N/2^bits, so the quadratic term is local."""
+    from geotools_spark.operators.similarity import (
+        _dot_cols_expr,
+        _norm2_expr,
+        bucket_expr,
+        hyperplanes,
+    )
+
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    planes = hyperplanes(int(first.d), bits, seed)
+    b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bucket_expr(F.col(vec_col), planes).alias("_bkt"),
+        F.sqrt(_norm2_expr(F.col(vec_col))).alias("_nrm"),
+    )
+    lhs = b.select(
+        F.col("_bkt"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    rhs = b.select(
+        F.col("_bkt"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    pairs = lhs.join(rhs, "_bkt").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot_cols_expr(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,

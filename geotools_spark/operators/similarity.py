@@ -31,6 +31,15 @@ def _dot_expr(col, qvec: list[float]):
     )
 
 
+def _dot_cols_expr(a, b):
+    """Dot product of two array columns as a JVM fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _norm2_expr(col):
     return F.aggregate(
         col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")

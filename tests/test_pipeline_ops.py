@@ -69,3 +69,33 @@ def test_all_queries_execute(spark):
 
     for name, fn in m.queries().items():
         assert fn(spark, "/root/testdata/sf0.001").count() >= 0, name
+
+
+def test_embedding_near_dup_recall(spark):
+    """LSH-bucketed embedding near-dup finds the planted duplicates the
+    brute-force scan finds (recall pinned at 1.0 for near-identical
+    vectors; they differ only in the 8th decimal)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from geotools_spark.operators.dedup import embedding_near_dup_pairs
+
+    rs = np.random.RandomState(3)
+    base = rs.standard_normal((200, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    for i in range(0, 200, 10):  # plant 20 near-dups
+        rows.append((1000 + i, [float(x) + 1e-8 for x in base[i]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.999).collect()
+    }
+    want = {(i, 1000 + i) for i in range(0, 200, 10)}
+    assert want <= got  # all planted dups found
+    # and no spurious pairs below the threshold survive the exact filter
+    for a, b_ in got - want:
+        va = dict(rows)[a]
+        vb = dict(rows)[b_]
+        cos = float(np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert cos >= 0.999
