@@ -184,6 +184,30 @@ def _q_kurtosis_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_grid_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (skew path) — must produce exactly
+    the one-phase result, so it shares the plain-SQL oracle."""
+    from geotools_spark.operators.salting import salted_cell_stats
+
+    cells = derive.cells_df(spark, sf_dir)
+    out = salted_cell_stats(
+        cells,
+        stats=("count", "min", "max", "sum", "mean", "median"),
+        res=1.0,
+        n_salts=8,
+    )
+    return out.select(
+        "cell_col",
+        "cell_row",
+        F.col("count").alias("cnt"),
+        F.col("min").alias("zmin"),
+        F.col("max").alias("zmax"),
+        F.round("sum", 6).alias("zsum"),
+        F.round("mean", 6).alias("zmean"),
+        F.round("median", 6).alias("zmed"),
+    )
+
+
 def _q_gap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = derive.cells_df(spark, sf_dir)
     out = gridstats.gap_fraction(cells)
@@ -899,6 +923,17 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.join(emb, "media_ref", "inner")
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer + probe-cell scan); rows-only
+    driver check (recall vs exact pinned in tests)."""
+    from geotools_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
+    out = ivf_ann_topk(emb, qvec, k=20, nlist=8, nprobe=3)
+    return out.select("vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grid_stats": _q_grid_stats,
@@ -907,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_moments": _q_grid_moments,
         "quantile_filter": _q_quantile_filter,
         "kurtosis_quirk": _q_kurtosis_quirk,
+        "grid_salted": _q_grid_salted,
         "gap_fraction": _q_gap_fraction,
         "pip_join": _q_pip_join,
         "pip_clip": _q_pip_clip,
@@ -949,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic": _q_mosaic,
         "loess": _q_loess,
         "embed_neardup": _q_embed_neardup,
+        "ann_ivf": _q_ann_ivf,
     }
 
 
@@ -1377,6 +1414,18 @@ def oracle_sql() -> dict[str, str]:
            CASE WHEN n >= 3 THEN ROUND((m3c / n) / (s*s*s), 6) END AS zskew,
            CASE WHEN n >= 3 THEN ROUND((m4c / n) / (s*s*s*s) - 3.0, 6) END AS zkurt
     FROM std
+    """
+
+    sqls["grid_salted"] = f"""
+    {_CELLS_CTE}
+    SELECT cell_col, cell_row,
+      CAST(COUNT(*) AS DOUBLE) AS cnt,
+      MIN(z) AS zmin,
+      MAX(z) AS zmax,
+      ROUND(SUM(z), 6) AS zsum,
+      ROUND(AVG(z), 6) AS zmean,
+      ROUND(MEDIAN(z), 6) AS zmed
+    FROM cells GROUP BY cell_col, cell_row
     """
 
     sqls["kurtosis_quirk"] = f"""

@@ -270,12 +270,26 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact char-n-gram Jaccard for all pairs sharing ``pair_key`` —
     the bounded-candidate exact kernel (SQL-oracle-able)."""
+    # intersect 64-bit gram hashes instead of strings: the Jaccard VALUE
+    # is representation-independent (xxhash64 collisions over ~10^2-10^3
+    # grams are negligible) and long-array intersection is far cheaper
+    # than string comparison in the pairwise hot loop
+    hashed = F.transform(char_ngrams_expr(n, text_col), lambda s: F.xxhash64(s))
     g = docs.select(
-        F.col(id_col), F.col(pair_key).alias("_pk"), char_ngrams_expr(n, text_col).alias("grams")
+        F.col(id_col), F.col(pair_key).alias("_pk"), hashed.alias("grams")
     )
     a = g.select(F.col(id_col).alias("id_a"), F.col("_pk"), F.col("grams").alias("g_a"))
     b = g.select(F.col(id_col).alias("id_b"), F.col("_pk"), F.col("grams").alias("g_b"))
     pairs = a.join(b, "_pk").filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a", "id_b", F.round(jaccard_expr(F.col("g_a"), F.col("g_b")), 6).alias("jaccard")
+    # materialize the intersection size once — the jaccard denominator
+    # reuses it (|A|+|B|-|A∩B|), and whole-stage codegen does not CSE
+    # two array_intersect calls over variable-length arrays
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b"))).cast("double")
+    with_i = pairs.select("id_a", "id_b", F.size("g_a").alias("_sa"), F.size("g_b").alias("_sb"), inter.alias("_si"))
+    return with_i.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("_si") / (F.col("_sa") + F.col("_sb") - F.col("_si")).cast("double"), 6
+        ).alias("jaccard"),
     )

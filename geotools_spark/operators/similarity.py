@@ -87,6 +87,45 @@ def bucket_expr(vec_col, planes: np.ndarray):
     return bucket
 
 
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 50,
+    nlist: int = 16,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a KMeans coarse quantizer (pyspark.ml)
+    partitions vectors into nlist cells; queries scan only the nprobe
+    closest cells. The index build is one ML fit + one assignment pass
+    (both distributed); at serving time the candidate scan is
+    ``filter(cell IN probes)`` — partition-prunable when the table is
+    written bucketed by cell id. Exact cosine runs on candidates only.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    va = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
+    )
+    km = KMeans(k=nlist, seed=seed, featuresCol="_feat", predictionCol="_cell")
+    model = km.fit(va)
+    assigned = model.transform(va).drop("_feat")
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    centers = model.clusterCenters()
+    dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in centers]
+    probes = sorted(range(len(centers)), key=lambda i: dists[i])[:nprobe]
+    cand = assigned.filter(F.col("_cell").isin(probes)).drop("_cell")
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -99,3 +99,16 @@ def test_embedding_near_dup_recall(spark):
         vb = dict(rows)[b_]
         cos = float(np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert cos >= 0.999
+
+
+def test_ivf_ann_recall(spark):
+    """IVF (KMeans coarse quantizer) ANN recall vs exact top-k."""
+    from pyspark.sql import functions as F
+    from geotools_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
+    exact = {r.vec_id for r in cosine_topk(emb, qvec, k=20).collect()}
+    ivf = {r.vec_id for r in ivf_ann_topk(emb, qvec, k=20, nlist=8, nprobe=3).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, recall
