@@ -161,12 +161,18 @@ def main() -> None:
         _materialize(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # headline docs/sec metric on the interleaved table
-    t0 = time.perf_counter()
-    grid, tiles = flagship_docs_pipeline(spark, N_BENCH_DOCS)
+    # headline docs/sec metric on the interleaved table: warm-up pass,
+    # then min of 2 (the host shows bursty CPU steal — see BENCH.md)
+    grid, tiles = flagship_docs_pipeline(spark, max(N_BENCH_DOCS // 20, 1000))
     _materialize(grid)
     _materialize(tiles)
-    flagship_sec = time.perf_counter() - t0
+    flagship_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        grid, tiles = flagship_docs_pipeline(spark, N_BENCH_DOCS)
+        _materialize(grid)
+        _materialize(tiles)
+        flagship_sec = min(flagship_sec, time.perf_counter() - t0)
     timings["flagship_interleaved"] = round(flagship_sec, 3)
 
     total = round(sum(timings.values()), 3)

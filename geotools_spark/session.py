@@ -57,8 +57,10 @@ def get_spark(
         # local mode runs everything in the driver JVM; the 1g default
         # heap GC-thrashes under 32 executor threads (GCLocker retry
         # failures). Only effective for the process's first JVM launch.
+        # measured sweet spot: 1g GC-locks, 16g slows young-gen at 32
+        # threads; 4g is fastest on the flagship pipeline
         .config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
         )
         .config("spark.ui.enabled", "false")
     )
