@@ -76,20 +76,31 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, shingles, mh array<long>) — one xxhash64 family per
-    permutation index, all inside whole-stage codegen."""
+    """(id, shingles, mh array<long>) — shingles are xxhash64'd ONCE,
+    then each permutation is an affine map ``(a_p * h + b_p) mod M``
+    over the precomputed longs (the classic MinHash permutation
+    family): 1 string hash + num_perm multiply-adds per shingle instead
+    of num_perm string hashes. All inside whole-stage codegen; ANSI
+    overflow avoided by reducing h mod 2^31-1 first."""
+    M = 2147483647  # 2^31 - 1 (Mersenne prime)
     with_sh = docs.select(id_col, shingles_expr(shingle_k, text_col).alias("shingles"))
+    hashed = with_sh.select(
+        id_col,
+        "shingles",
+        F.transform(
+            "shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(M))
+        ).alias("_h"),
+    )
+    # deterministic permutation constants (any fixed odd a works)
+    consts = [(2 * p * 40503 + 1, p * 9973 + 7) for p in range(num_perm)]
 
     def _mh(p: int):
-        # NB: the transform lambda must take exactly ONE parameter —
-        # PySpark passes the array index to a second parameter, which
-        # would silently shadow the permutation constant.
+        a, b = consts[p]
         return F.array_min(
-            F.transform("shingles", lambda s: F.xxhash64(F.lit(p), s))
+            F.transform("_h", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(M)))
         ).alias(f"_mh{p}")
 
-    mins = [_mh(p) for p in range(num_perm)]
-    sig = with_sh.select(id_col, "shingles", *mins)
+    sig = hashed.select(id_col, "shingles", *[_mh(p) for p in range(num_perm)])
     return sig.select(
         id_col, "shingles", F.array(*[f"_mh{p}" for p in range(num_perm)]).alias("mh")
     )
