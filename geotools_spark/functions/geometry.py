@@ -218,22 +218,19 @@ def tin_interpolate(ground_xyz: np.ndarray, query_xyz: np.ndarray):
     inside = ~(neg & pos)  # (nq, ntri)
     hit = inside.argmax(axis=1)
     has = inside.any(axis=1)
-    for qi in np.nonzero(has)[0]:
-        ti = hit[qi]
-        p = query_xyz[qi]
-        verts = ground_xyz[tris[ti]]
-        area = 0.0
-        total = 0.0
+    qi = np.nonzero(has)[0]
+    if len(qi):
+        v = ground_xyz[tris[hit[qi]]]  # (m, 3, 3) triangle vertices
+        p = query_xyz[qi]              # (m, 3) queries (own z — quirk)
+        area = np.zeros(len(qi))
+        total = np.zeros(len(qi))
         for i in range(3):
-            p1 = verts[i]
-            p2 = verts[(i + 1) % 3]
-            p3 = verts[(i + 2) % 3]
-            h = float(heron_area_3d(p1, p2, p))
+            h = heron_area_3d(v[:, i], v[:, (i + 1) % 3], p)
             area += h
-            total += h * p3[2]
-        if area > 0:
-            out[qi] = total / area
-            located[qi] = True
+            total += h * v[:, (i + 2) % 3, 2]
+        ok = area > 0
+        out[qi[ok]] = total[ok] / area[ok]
+        located[qi[ok]] = True
     return out, located
 
 
