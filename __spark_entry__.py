@@ -208,6 +208,29 @@ def _q_grid_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 hierarchical cell encoding: Morton/Z-order keys at the leaf
+    level rolled up two levels (parent = zkey >> 4) — the H3/S2-class
+    parent/child contract. Oracle reproduces the bit-interleave with
+    identical integer ops."""
+    from geotools_spark.functions.cells import morton_key, morton_parent
+
+    cells = derive.cells_df(spark, sf_dir)
+    keyed = cells.withColumn(
+        "zkey", morton_key(F.col("cell_col"), F.col("cell_row"))
+    ).withColumn("parent", morton_parent(F.col("zkey"), 2))
+    leaf = keyed.groupBy("zkey", "parent").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("z"), 6).alias("zsum")
+    )
+    return leaf.groupBy("parent").agg(
+        F.sum("cnt").alias("cnt"),
+        F.round(F.sum("zsum"), 6).alias("zsum"),
+        F.count(F.lit(1)).alias("n_children"),
+        F.min("zkey").alias("zmin_key"),
+        F.max("zkey").alias("zmax_key"),
+    )
+
+
 def _q_gap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = derive.cells_df(spark, sf_dir)
     out = gridstats.gap_fraction(cells)
@@ -943,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": _q_quantile_filter,
         "kurtosis_quirk": _q_kurtosis_quirk,
         "grid_salted": _q_grid_salted,
+        "cell_rollup": _q_cell_rollup,
         "gap_fraction": _q_gap_fraction,
         "pip_join": _q_pip_join,
         "pip_clip": _q_pip_clip,
@@ -1414,6 +1438,33 @@ def oracle_sql() -> dict[str, str]:
            CASE WHEN n >= 3 THEN ROUND((m3c / n) / (s*s*s), 6) END AS zskew,
            CASE WHEN n >= 3 THEN ROUND((m4c / n) / (s*s*s*s) - 3.0, 6) END AS zkurt
     FROM std
+    """
+
+    # Morton bit-interleave transcribed with the same mask/shift ladder
+    # the Spark side uses (functions/cells.py _SPREAD_MASKS)
+    def _spread_sql(col: str) -> str:
+        e = f"({col} & 4294967295)"
+        for shift, mask in (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            e = f"(({e} | ({e} << {shift})) & {mask})"
+        return e
+
+    _zkey_sql = f"({_spread_sql('cell_col')} | ({_spread_sql('cell_row')} << 1))"
+    sqls["cell_rollup"] = f"""
+    {_CELLS_CTE},
+    keyed AS (SELECT {_zkey_sql} AS zkey, z FROM cells),
+    leaf AS (SELECT zkey, zkey >> 4 AS parent, COUNT(*) AS cnt,
+                    ROUND(SUM(z), 6) AS zsum
+             FROM keyed GROUP BY zkey)
+    SELECT parent, SUM(cnt) AS cnt, ROUND(SUM(zsum), 6) AS zsum,
+           COUNT(*) AS n_children,
+           MIN(zkey) AS zmin_key, MAX(zkey) AS zmax_key
+    FROM leaf GROUP BY parent
     """
 
     sqls["grid_salted"] = f"""

@@ -108,7 +108,24 @@ def read_lineage(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "_lineage"))
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, path: str, *, as_of_run: str | None = None
+) -> DataFrame:
     """Read a checkpointed table (partition column comes back from the
-    directory layout; filters on it prune at the file listing)."""
-    return spark.read.parquet(path)
+    directory layout; filters on it prune at the file listing).
+
+    ``as_of_run`` = snapshot time travel on the manifest: only
+    partitions committed by runs up to and including that run_id are
+    visible (the Iceberg snapshot-read analogue). The filter is on the
+    partition column, so pruning applies."""
+    df = spark.read.parquet(path)
+    if as_of_run is not None:
+        m = read_manifest(path)
+        run_order = [r["run_id"] for r in m["runs"]]
+        if as_of_run not in run_order:
+            raise ValueError(f"unknown run_id {as_of_run!r}; have {run_order}")
+        visible_runs = set(run_order[: run_order.index(as_of_run) + 1])
+        keys = [k for k, rid in m["completed"].items() if rid in visible_runs]
+        part_col = df.schema.names[-1]  # partitionBy column lands last
+        df = df.filter(F.col(part_col).cast("string").isin(keys))
+    return df

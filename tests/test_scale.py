@@ -109,3 +109,23 @@ def test_partition_pruning_on_checkpointed_table(spark, tmp_path, skewed_cells):
     # partition filter must reach the scan (pruned listing), not a post-filter
     assert "PartitionFilters: [isnotnull(part_key" in plan or "part_key#" in plan
     assert rd.count() == grid.filter(F.col("part_key") == 1).count()
+
+
+def test_time_travel_read(spark, tmp_path, skewed_cells):
+    """as_of_run exposes only partitions committed by runs <= the
+    snapshot — the Iceberg snapshot-read analogue."""
+    path = str(tmp_path / "tt")
+    grid = cell_stats(skewed_cells, stats=("count",), res=1.0).withColumn(
+        "part_key", (F.col("cell_col") / 16).cast("int")
+    )
+    half = grid.filter(F.col("part_key") <= 1)
+    rest = grid.filter(F.col("part_key") > 1)
+    lineage.checkpointed_write(half, path, part_col="part_key", run_id="r1")
+    lineage.checkpointed_write(rest, path, part_col="part_key", run_id="r2")
+    n1 = lineage.read_table(spark, path, as_of_run="r1").count()
+    n2 = lineage.read_table(spark, path, as_of_run="r2").count()
+    assert n1 == half.count()
+    assert n2 == grid.count()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lineage.read_table(spark, path, as_of_run="nope")
