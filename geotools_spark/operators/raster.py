@@ -678,6 +678,103 @@ def gaussian_smooth_tiled(
     )
 
 
+def ring_fill_mean(
+    raster: DataFrame,
+    *,
+    cols: int,
+    rows: int,
+    tile: int = 256,
+    max_size: int = 16,
+    value: str = "value",
+) -> DataFrame:
+    """W6: expanding-square ring-mean nodata fill (treetops
+    interpNodata, src/treetops.cpp:94-119). For each nodata cell grow a
+    square ring; the fill is the mean of valid ring cells at the first
+    size with any. The reference CLAMPS ring indices to the grid edge,
+    double-counting border cells — reproduced. Tiled numpy with halo =
+    max_size (the reference searches to size 1000; callers bound it)."""
+    import numpy as np
+
+    halo = int(max_size) + 1
+    t = max(tile, 2 * halo + 2)
+    shipped = tiles_with_halo(
+        raster.select("cell_col", "cell_row", F.col(value).alias("value")),
+        tile=t,
+        halo=halo,
+    )
+
+    def _fill(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tcol, trow = int(key[0]), int(key[1])
+        x0, y0 = tcol * t - halo, trow * t - halo
+        w = t + 2 * halo
+        grid = np.full((w, w), np.nan)
+        cc = pdf["cell_col"].to_numpy() - x0
+        rr = pdf["cell_row"].to_numpy() - y0
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        inb = (cc >= 0) & (cc < w) & (rr >= 0) & (rr < w)
+        grid[rr[inb], cc[inb]] = vals[inb]
+        out_c, out_r, out_v = [], [], []
+        for gy in range(halo, halo + t):
+            row_abs = y0 + gy
+            if row_abs < 0 or row_abs >= rows:
+                continue
+            for gx in range(halo, halo + t):
+                col_abs = x0 + gx
+                if col_abs < 0 or col_abs >= cols:
+                    continue
+                v = grid[gy, gx]
+                if np.isnan(v):
+                    # reference ring loops in GLOBAL grid coords with
+                    # clamping; replicate using absolute coords mapped
+                    # into the (haloed) local grid
+                    filled = np.nan
+                    for size in range(1, max_size + 1):
+                        tsum, n = 0.0, 0
+                        for c_abs in range(
+                            max(0, col_abs - size), min(cols, col_abs + size + 1)
+                        ):
+                            for r_abs in (
+                                max(0, row_abs - size),
+                                min(rows - 1, row_abs + size),
+                            ):
+                                vv = grid[r_abs - y0, c_abs - x0] if (
+                                    0 <= c_abs - x0 < w and 0 <= r_abs - y0 < w
+                                ) else np.nan
+                                if not np.isnan(vv):
+                                    tsum += vv
+                                    n += 1
+                        for r_abs in range(
+                            max(1, row_abs - size), min(rows, row_abs + size + 1)
+                        ):
+                            for c_abs in (
+                                max(0, col_abs - size),
+                                min(cols - 1, col_abs + size),
+                            ):
+                                vv = grid[r_abs - y0, c_abs - x0] if (
+                                    0 <= c_abs - x0 < w and 0 <= r_abs - y0 < w
+                                ) else np.nan
+                                if not np.isnan(vv):
+                                    tsum += vv
+                                    n += 1
+                        if n > 0:
+                            filled = tsum / n
+                            break
+                    v = filled
+                out_c.append(col_abs)
+                out_r.append(row_abs)
+                out_v.append(v)
+        df = pd.DataFrame({"cell_col": out_c, "cell_row": out_r, "value": out_v})
+        df["value"] = df["value"].astype(float)
+        return df
+
+    out = shipped.groupBy("tile_col", "tile_row").applyInPandas(
+        _fill, "cell_col long, cell_row long, value double"
+    )
+    return out.withColumn(
+        "value", F.when(F.isnan(F.col("value")), F.lit(None)).otherwise(F.col("value"))
+    )
+
+
 def void_fill_idw(
     raster: DataFrame,
     *,

@@ -321,3 +321,48 @@ def test_void_fill_idw(spark):
     assert out[0, 9] == pytest.approx(7.0)
     # valid cells unchanged
     assert out[2, 2] == pytest.approx(7.0)
+
+
+def oracle_ring_fill(g, max_size=16):
+    """Literal interpNodata transcription (src/treetops.cpp:94-119)."""
+    rows, cols = g.shape
+    out = g.copy()
+    for row in range(rows):
+        for col in range(cols):
+            if not np.isnan(g[row, col]):
+                continue
+            for size in range(1, max_size + 1):
+                t, n = 0.0, 0
+                for c in range(max(0, col - size), min(cols, col + size + 1)):
+                    for r in (max(0, row - size), min(rows - 1, row + size)):
+                        v = g[r, c]
+                        if not np.isnan(v):
+                            t += v
+                            n += 1
+                for r in range(max(1, row - size), min(rows, row + size + 1)):
+                    for c in (max(0, col - size), min(cols - 1, col + size)):
+                        v = g[r, c]
+                        if not np.isnan(v):
+                            t += v
+                            n += 1
+                if n > 0:
+                    out[row, col] = t / n
+                    break
+    return out
+
+
+def test_ring_fill_matches_oracle(spark):
+    from geotools_spark.operators.raster import ring_fill_mean
+
+    g = make_grid(seed=23)
+    g[0, 0] = np.nan  # corner (exercises the clamped double-count)
+    df = to_df(spark, g)
+    out = collect_grid(
+        ring_fill_mean(df, cols=COLS, rows=ROWS, tile=16, max_size=8),
+        "value",
+        g.shape,
+    )
+    want = oracle_ring_fill(g, max_size=8)
+    assert np.allclose(
+        np.nan_to_num(out, nan=-1), np.nan_to_num(want, nan=-1), atol=1e-9
+    )
