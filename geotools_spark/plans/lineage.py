@@ -104,6 +104,31 @@ def checkpointed_write(
     return manifest["runs"][-1]
 
 
+def write_cell_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    zkey_col: str = "zkey",
+    level_delta: int = 6,
+    run_id: str = "r0",
+) -> dict:
+    """North-rule partitioning: EXPLICIT range partitioning on the
+    hierarchical cell key. Rows are range-repartitioned on the Z-order
+    key (spatially contiguous key ranges = compact blocks of cells, so
+    each task writes one coherent spatial region), then written
+    partitioned by the level-(L-delta) parent key — the directory
+    partition column that gives readers cell-range pruning (the
+    SpatiaLite R-tree's job, include/sqlite.hpp:20-142). Goes through
+    checkpointed_write, so resume/lineage apply."""
+    parent = F.shiftright(F.col(zkey_col), 2 * level_delta).alias("cell_part")
+    keyed = df.withColumn("cell_part", parent)
+    spread = keyed.repartitionByRange(
+        max(df.sparkSession.sparkContext.defaultParallelism, 4),
+        F.col(zkey_col),
+    )
+    return checkpointed_write(spread, path, part_col="cell_part", run_id=run_id)
+
+
 def read_lineage(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "_lineage"))
 

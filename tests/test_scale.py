@@ -129,3 +129,33 @@ def test_time_travel_read(spark, tmp_path, skewed_cells):
     import pytest as _pt
     with _pt.raises(ValueError):
         lineage.read_table(spark, path, as_of_run="nope")
+
+
+def test_cell_partitioned_write_spatial_locality(spark, tmp_path, skewed_cells):
+    """Range partitioning on the Z-order key: each written file covers
+    a contiguous zkey range (spatial locality), the directory layout
+    partitions by the parent cell, and reads prune on it."""
+    import os
+    from geotools_spark.functions.cells import morton_key
+
+    path = str(tmp_path / "cellpart")
+    pts = skewed_cells.withColumn(
+        "zkey", morton_key(F.col("cell_col"), F.col("cell_row"))
+    )
+    res = lineage.write_cell_partitioned(pts, path, level_delta=4, run_id="w1")
+    assert res["rows"] == pts.count()
+    # directory partitioning on the parent key exists
+    parts = [d for d in os.listdir(path) if d.startswith("cell_part=")]
+    assert len(parts) >= 2
+    # parent key is consistent: every row's zkey >> 8 equals its dir key
+    rd = lineage.read_table(spark, path)
+    bad = rd.filter(
+        F.shiftright(F.col("zkey"), 8) != F.col("cell_part")
+    ).count()
+    assert bad == 0
+    # pruned read matches a full-scan filter
+    one = int(parts[0].split("=")[1])
+    assert (
+        rd.filter(F.col("cell_part") == one).count()
+        == pts.filter(F.shiftright(F.col("zkey"), 8) == one).count()
+    )
