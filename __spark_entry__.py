@@ -1234,6 +1234,8 @@ def oracle_sql() -> dict[str, str]:
                       {_TOKS} AS tk FROM documents),
     m AS (SELECT doc_id, n_char,
       CAST(len(tk) AS INTEGER) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+', 0))
+        AS INTEGER) AS n_bpe_tokens,
       CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
         / CAST(len(tk) AS DOUBLE) AS mtl,
       CAST(len(list_filter(tk, x -> list_contains({en_stop}, x))) AS DOUBLE)
@@ -1241,7 +1243,7 @@ def oracle_sql() -> dict[str, str]:
       CAST(n_char - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
         / CAST(n_char AS DOUBLE) AS digr
       FROM t)
-    SELECT doc_id, n_tokens, n_char,
+    SELECT doc_id, n_tokens, n_bpe_tokens, n_char,
       ROUND(mtl, 6) AS mean_tok_len,
       ROUND(stopr, 6) AS stop_ratio,
       ROUND(digr, 6) AS digit_ratio,

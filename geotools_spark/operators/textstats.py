@@ -53,9 +53,18 @@ def text_metrics(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
         + (1.0 - F.least(digit_ratio * 10.0, F.lit(1.0))) * 0.2
     )
+    # BPE-ish token count: letter runs, single digits, punctuation runs
+    # (the GPT-2 pre-tokenizer's shape, ASCII approximation so the
+    # DuckDB oracle's regex engine agrees byte-for-byte)
+    bpe_tok = F.size(
+        F.expr(
+            rf"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+', 0)"
+        )
+    )
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
+        bpe_tok.alias("n_bpe_tokens"),
         n_char.alias("n_char"),
         F.round(mean_tok_len, 6).alias("mean_tok_len"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
