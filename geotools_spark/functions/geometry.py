@@ -43,30 +43,62 @@ def delaunay(xy: np.ndarray) -> np.ndarray:
     )
     pts = np.vstack([xy, sup])
     si = n  # super vertex base index
-    tris = np.array([[si, si + 1, si + 2]], dtype=np.int64)
-    ccs = _circumcircles(pts, tris)  # row-aligned (cx, cy, r2)
+    # capacity-managed triangle store: live rows tracked by a mask so an
+    # insertion touches only the cavity rows instead of copying the
+    # whole array (amortized O(cavity) per insert)
+    cap = max(4 * n, 64)
+    tris = np.empty((cap, 3), dtype=np.int64)
+    ccs = np.empty((cap, 3), dtype=np.float64)
+    live = np.zeros(cap, dtype=bool)
+    tris[0] = (si, si + 1, si + 2)
+    ccs[0] = _circumcircles(pts, tris[:1])[0]
+    live[0] = True
+    hi = 1  # rows [0, hi) may be live
 
     order = np.argsort(pts[:n, 0], kind="mergesort")  # x-sweep improves locality
     for p in order:
         px, py = pts[p]
-        bad = (ccs[:, 0] - px) ** 2 + (ccs[:, 1] - py) ** 2 <= ccs[:, 2]
+        c = ccs[:hi]
+        bad = ((c[:, 0] - px) ** 2 + (c[:, 1] - py) ** 2 <= c[:, 2]) & live[:hi]
         if not bad.any():
             continue  # numerically outside everything: skip (degenerate dup)
-        bad_tris = tris[bad]
+        bad_idx = np.nonzero(bad)[0]
+        bad_tris = tris[bad_idx]
         # boundary of the cavity = undirected edges appearing exactly once
         edges = np.vstack(
             [bad_tris[:, [0, 1]], bad_tris[:, [1, 2]], bad_tris[:, [2, 0]]]
         )
         edges.sort(axis=1)
-        uniq, counts = np.unique(edges, axis=0, return_counts=True)
-        boundary = uniq[counts == 1]
+        # encode undirected edges as one int64 — 1-D unique is several
+        # times cheaper than unique(axis=0)'s view machinery
+        e64 = (edges[:, 0] << 32) | edges[:, 1]
+        uniq, counts = np.unique(e64, return_counts=True)
+        bnd = uniq[counts == 1]
         new_tris = np.column_stack(
-            [boundary, np.full(len(boundary), p, dtype=np.int64)]
+            [bnd >> 32, bnd & 0xFFFFFFFF, np.full(len(bnd), p, dtype=np.int64)]
         )
-        tris = np.vstack([tris[~bad], new_tris])
-        ccs = np.vstack([ccs[~bad], _circumcircles(pts, new_tris)])
+        new_ccs = _circumcircles(pts, new_tris)
+        live[bad_idx] = False
+        # reuse freed cavity rows first, then append
+        k = len(new_tris)
+        reuse = bad_idx[:k]
+        tris[reuse] = new_tris[: len(reuse)]
+        ccs[reuse] = new_ccs[: len(reuse)]
+        live[reuse] = True
+        extra = k - len(reuse)
+        if extra > 0:
+            if hi + extra > cap:
+                cap = max(2 * cap, hi + extra)
+                tris = np.concatenate([tris, np.empty((cap - len(tris), 3), np.int64)])
+                ccs = np.concatenate([ccs, np.empty((cap - len(ccs), 3), np.float64)])
+                live = np.concatenate([live, np.zeros(cap - len(live), bool)])
+            tris[hi : hi + extra] = new_tris[len(reuse) :]
+            ccs[hi : hi + extra] = new_ccs[len(reuse) :]
+            live[hi : hi + extra] = True
+            hi += extra
 
-    out = tris[(tris < n).all(axis=1)]
+    out = tris[:hi][live[:hi]]
+    out = out[(out < n).all(axis=1)]
     return out.astype(np.int64).reshape(-1, 3)
 
 
