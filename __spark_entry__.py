@@ -417,6 +417,16 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
 
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash mod 2^61-1 over
+    UTF-8 bytes (Arrow-vectorized column-wise recurrence). The DuckDB
+    oracle replays the identical recurrence with list_reduce in HUGEINT
+    arithmetic — bit-exact."""
+    from geotools_spark.operators.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.similarity import cosine_topk
 
@@ -652,6 +662,26 @@ def _q_loess(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", (F.col("qx") * 64 + F.col("qy")).cast("long")
     )
     out = interpolate("loess", queries, samples, bandwidth=6.0, res=2.0)
+    return out.select("qid", F.round("value", 6).alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+
+
+def _q_natural_neighbour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 Sibson natural neighbour (Watson stolen-area over NumPy
+    Delaunay; reference: CGAL Voronoi, src/interp/Interpolators.cpp:
+    526-713). Sample side is sparse control points (collected +
+    broadcast, like kriging); rows-only check — linear precision and a
+    Monte-Carlo Sibson oracle are pinned in tests/test_interpolate.py."""
+    from geotools_spark.operators.interpolate import interpolate
+
+    samples = derive.points_df(spark, sf_dir).filter(F.col("pid") % 997 == 0).select(
+        F.col("pid").alias("sid"), "x", "y", "z"
+    )
+    queries = _query_grid(spark).withColumn(
+        "qid", (F.col("qx") * 64 + F.col("qy")).cast("long")
+    )
+    out = interpolate("natural_neighbour", queries, samples)
     return out.select("qid", F.round("value", 6).alias("value")).filter(
         F.col("value").isNotNull()
     )
@@ -978,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
         "sessionize": _q_sessionize,
         "interval_merge": _q_interval_merge,
@@ -1008,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "mosaic": _q_mosaic,
         "loess": _q_loess,
+        "natural_neighbour": _q_natural_neighbour,
         "embed_neardup": _q_embed_neardup,
         "ann_ivf": _q_ann_ivf,
     }
@@ -1252,6 +1284,22 @@ def oracle_sql() -> dict[str, str]:
             + LEAST(stopr * 5.0, 1.0) * 0.2
             + (1.0 - LEAST(digr * 10.0, 1.0)) * 0.2, 6) AS quality
     FROM m
+    """
+
+    # polynomial rolling hash mod 2^61-1, replayed exactly: list_reduce
+    # seeds acc with the first element, which equals (0*B + byte0);
+    # acc*1000003 + 255 < 2^81 stays inside HUGEINT. ord() == the UTF-8
+    # byte because the synthetic corpus is ASCII.
+    sqls["fingerprint"] = """
+    SELECT doc_id,
+      CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+        list_reduce(
+          list_transform(regexp_split_to_array(text, ''),
+                         c -> CAST(ord(c) AS HUGEINT)),
+          (acc, x) -> (acc * 1000003 + x)
+                      % CAST(2305843009213693951 AS HUGEINT)
+        ) END AS BIGINT) AS fingerprint
+    FROM documents
     """
 
     def _score(words: tuple[str, ...]) -> str:

@@ -306,6 +306,107 @@ def rugosity_acr(xyz: np.ndarray) -> float:
     return tarea / parea
 
 
+def _circumcenters_pq(a: np.ndarray, b: np.ndarray, px: float, py: float) -> np.ndarray:
+    """Vectorized circumcenters of triangles (a_i, b_i, (px, py)).
+    Degenerate (collinear) rows come back as +inf so the caller can
+    reject them."""
+    ax, ay = a[:, 0], a[:, 1]
+    bx, by = b[:, 0], b[:, 1]
+    d = 2.0 * (ax * (by - py) + bx * (py - ay) + px * (ay - by))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a2 = ax * ax + ay * ay
+        b2 = bx * bx + by * by
+        p2 = px * px + py * py
+        ux = (a2 * (by - py) + b2 * (py - ay) + p2 * (ay - by)) / d
+        uy = (a2 * (px - bx) + b2 * (ax - px) + p2 * (bx - ax)) / d
+    out = np.column_stack([ux, uy])
+    out[np.abs(d) < 1e-30] = np.inf
+    return out
+
+
+def natural_neighbour(samples_xyz: np.ndarray, query_xy: np.ndarray,
+                      snap_eps: float = 1e-9):
+    """Sibson natural-neighbour interpolation (M13) via Watson's
+    stolen-area method — the same quantity the reference computes with
+    CGAL's incremental Voronoi (src/interp/Interpolators.cpp:526-713):
+    weight of neighbour v = area its Voronoi cell loses to the query's
+    cell after insertion. Instead of clipping Voronoi polygons, each
+    cavity triangle t (circumcircle contains q) with circumcenter c
+    contributes the signed area of (c, c1, c2) to each of its vertices,
+    where c1/c2 are the circumcenters of the two NEW triangles (q + the
+    two cavity edges at that vertex); interior-edge pieces telescope, so
+    no ordering pass is needed. Linear precision and exactness at the
+    sample sites are pinned by tests.
+
+    Queries outside the convex hull return NaN (documented deviation:
+    the reference extrapolates by clipping cells to a padded bounding
+    box; hull-exterior Sibson weights are not well defined).
+
+    Returns (values, located) float64/bool arrays over ``query_xy``.
+    """
+    s = np.asarray(samples_xyz, dtype=np.float64)
+    q = np.asarray(query_xy, dtype=np.float64)
+    nq = len(q)
+    out = np.full(nq, np.nan)
+    located = np.zeros(nq, dtype=bool)
+    if len(s) == 0 or nq == 0:
+        return out, located
+    xy = s[:, :2]
+    z = s[:, 2]
+    # snap queries that coincide with a sample site (the reference's
+    # exact kernel would see a zero-area face there)
+    d2 = ((q[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    jnear = d2.argmin(axis=1)
+    snap = d2[np.arange(nq), jnear] <= snap_eps * snap_eps
+    out[snap] = z[jnear[snap]]
+    located[snap] = True
+    tris = delaunay(xy)
+    if len(tris) == 0:
+        return out, located
+    ccs = _circumcircles(xy, tris)
+    cx, cy, r2 = ccs[:, 0], ccs[:, 1], ccs[:, 2]
+    # hull-interior gate: inside some Delaunay triangle (sign test)
+    t1, t2, t3 = xy[tris[:, 0]], xy[tris[:, 1]], xy[tris[:, 2]]
+    qx = q[:, 0][:, None]
+    qy = q[:, 1][:, None]
+
+    def _sign(pa, pb):
+        return (qx - pb[None, :, 0]) * (pa[None, :, 1] - pb[None, :, 1]) - (
+            pa[None, :, 0] - pb[None, :, 0]
+        ) * (qy - pb[None, :, 1])
+
+    d1, d2_, d3 = _sign(t1, t2), _sign(t2, t3), _sign(t3, t1)
+    inside_hull = (
+        ~(((d1 < 0) | (d2_ < 0) | (d3 < 0)) & ((d1 > 0) | (d2_ > 0) | (d3 > 0)))
+    ).any(axis=1)
+    for i in np.nonzero(inside_hull & ~snap)[0]:
+        px, py = q[i]
+        bad = (cx - px) ** 2 + (cy - py) ** 2 <= r2
+        if not bad.any():
+            continue
+        bt = tris[bad]
+        ctr = ccs[bad][:, :2]
+        V = xy[bt]  # (B, 3, 2)
+        cs = np.empty((len(bt), 3, 2))
+        for j in range(3):
+            cs[:, j] = _circumcenters_pq(V[:, (j + 1) % 3], V[:, (j + 2) % 3], px, py)
+        if not np.isfinite(cs).all():
+            continue  # collinear new triangle: numerically unsafe, bail
+        w = np.zeros(len(xy))
+        for j in range(3):
+            j1, j2 = (j + 1) % 3, (j + 2) % 3
+            det = (cs[:, j1, 0] - ctr[:, 0]) * (cs[:, j2, 1] - ctr[:, 1]) - (
+                cs[:, j2, 0] - ctr[:, 0]
+            ) * (cs[:, j1, 1] - ctr[:, 1])
+            np.add.at(w, bt[:, j], det)
+        tot = w.sum()
+        if not np.isfinite(tot) or abs(tot) < 1e-300:
+            continue
+        out[i] = (w @ z) / tot
+        located[i] = True
+    return out, located
+
+
 def delaunay_edges(xy: np.ndarray) -> np.ndarray:
     """Unique undirected edges of the Delaunay triangulation — the
     boundary extraction input (src/lasboundary.cpp:177-194)."""

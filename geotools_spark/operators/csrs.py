@@ -21,14 +21,32 @@ from pyspark.sql import functions as F  # noqa: F401 (API symmetry)
 from geotools_spark.functions.transforms import Las2CsrsTransform
 
 _DATA = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data", "nad83v6vg.npz")
+_SOURCE_TIFF = os.environ.get(
+    "GEOTOOLS_SPARK_VGRID_TIFF", "/root/reference/share/NAD83v6VG.tif"
+)
 
 
 def load_shift_grid(path: str | None = None):
     """NAD83v6VG velocity grid (NRCAN public product; mm/yr, 3 bands)
-    from the packaged fixture — extracted once from the public GeoTIFF
-    with geotools_spark.sources.tiff (reference loads the same grid via
-    GDAL, src/las2csrs.cpp:96-136)."""
-    with np.load(path or _DATA) as z:
+    from the packaged fixture — extracted from the public GeoTIFF with
+    geotools_spark.sources.tiff (reference loads the same grid via
+    GDAL, src/las2csrs.cpp:96-136). If the cached .npz is absent it is
+    rebuilt from the TIFF (override via GEOTOOLS_SPARK_VGRID_TIFF) and
+    cached best-effort for later sessions."""
+    target = path or _DATA
+    if not os.path.exists(target):
+        from geotools_spark.sources.tiff import read_strip_tiff
+
+        grid, transform = read_strip_tiff(_SOURCE_TIFF)
+        try:
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            np.savez_compressed(
+                target, grid=grid.astype(np.float32), transform=np.asarray(transform)
+            )
+        except OSError:
+            pass
+        return grid.astype(np.float64), tuple(transform)
+    with np.load(target) as z:
         return z["grid"].astype(np.float64), tuple(z["transform"])
 
 

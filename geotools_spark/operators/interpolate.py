@@ -9,7 +9,7 @@ becomes a name -> DataFrame-transformer registry.
 | planar            | PlanarInterpolator (…:509-523)              | driver 3x3 solve + column expr (operators/terrain) |
 | kriging           | SimpleKrigingInterpolator (…:140-206)       | driver factorization + Arrow batches (operators/terrain) |
 | loess             | LOESSInterpolator — DECLARED but never implemented in the reference (include/interp/LOESSInterpolator.hpp has no matching definition) | implemented: tricube-weighted local plane, pure column Cramer |
-| natural_neighbour | NaturalNeighbourInterpolator (…:526-713, CGAL Voronoi) | documented gap: raises NotImplementedError (SURVEY.md §7 hard-parts #3) |
+| natural_neighbour | NaturalNeighbourInterpolator (…:526-713, CGAL Voronoi) | Watson stolen-area Sibson over NumPy Delaunay (functions/geometry.natural_neighbour) |
 
 All query sides are DataFrames with (qid, qx, qy); sample sides carry
 (sid, x, y, z). The kNN/radius candidate generation keeps every path a
@@ -107,11 +107,36 @@ def interp_loess(
 
 
 def interp_natural_neighbour(queries: DataFrame, samples: DataFrame, **_) -> DataFrame:
-    raise NotImplementedError(
-        "natural-neighbour (Voronoi area-stealing, "
-        "src/interp/Interpolators.cpp:526-713) needs incremental Voronoi "
-        "cell clipping — documented gap per SURVEY.md §7; use loess/idw"
-    )
+    """M13 Sibson natural neighbour (src/interp/Interpolators.cpp:526-713,
+    CGAL Voronoi area-stealing) — reimplemented as Watson's stolen-area
+    sum over the NumPy Bowyer-Watson Delaunay
+    (functions/geometry.natural_neighbour). Sample side is collected +
+    broadcast like kriging (the reference interpolates one tile's
+    samples at a time); queries stream through mapInPandas in Arrow
+    batches. Hull-exterior queries yield NULL (documented deviation —
+    the reference extrapolates against a padded clip box)."""
+    import numpy as np
+
+    from geotools_spark.functions.geometry import natural_neighbour
+
+    rows = samples.select("x", "y", "z").collect()
+    pts = np.array([[r[0], r[1], r[2]] for r in rows], dtype=np.float64).reshape(-1, 3)
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(pts)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in queries.schema.fields
+    ) + ", value double"
+
+    def _nn(batches):
+        s = bc.value
+        for pdf in batches:
+            q = pdf[["qx", "qy"]].to_numpy(dtype=np.float64)
+            vals, located = natural_neighbour(s, q)
+            out = pdf.copy()
+            out["value"] = np.where(located, vals, np.nan)
+            yield out
+
+    return queries.mapInPandas(_nn, out_schema)
 
 
 REGISTRY = {

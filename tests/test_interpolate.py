@@ -1,5 +1,5 @@
 """Interpolator registry: avg/loess correctness, dispatch, documented
-natural-neighbour gap."""
+natural-neighbour Sibson properties."""
 
 import numpy as np
 import pytest
@@ -56,9 +56,44 @@ def test_idw_and_kriging_dispatch(spark, sampleset, queryset):
             assert r.value == pytest.approx(plane(*{0: (5, 5), 1: (10, 10), 2: (15, 7)}[r.qid]), abs=1.5)
 
 
-def test_natural_neighbour_documented_gap(spark, sampleset, queryset):
-    with pytest.raises(NotImplementedError):
-        interpolate("natural_neighbour", queryset, sampleset)
+def test_natural_neighbour_linear_precision(spark, sampleset, queryset):
+    # Sibson interpolation has linear precision: exact on a planar field
+    # for hull-interior queries (all three queries are interior here).
+    out = {r.qid: r.value for r in interpolate("natural_neighbour", queryset, sampleset).collect()}
+    want = {0: plane(5, 5), 1: plane(10, 10), 2: plane(15, 7)}
+    for qid, v in out.items():
+        assert v == pytest.approx(want[qid], abs=1e-9)
+
+
+def test_natural_neighbour_kernel_properties():
+    from geotools_spark.functions.geometry import natural_neighbour
+
+    rs = np.random.RandomState(11)
+    xy = rs.uniform(0, 10, (12, 2))
+    z = rs.uniform(0, 5, 12)
+    s = np.column_stack([xy, z])
+    # exactness at sample sites
+    vals, loc = natural_neighbour(s, xy)
+    assert loc.all() and np.allclose(vals, z)
+    # Monte-Carlo pixel-count Sibson oracle at an interior point:
+    # old cell = nearest sample, stolen = pixels captured by the query
+    qpt = np.array([[5.1, 4.7]])
+    v, l = natural_neighbour(s, qpt)
+    assert l[0]
+    g = np.linspace(0, 10, 801)
+    gx, gy = np.meshgrid(g, g)
+    p = np.column_stack([gx.ravel(), gy.ravel()])
+    dold = ((p[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    owner = dold.argmin(1)
+    stolen_mask = ((p - qpt[0]) ** 2).sum(-1) < dold.min(1)
+    stolen = np.bincount(owner[stolen_mask], minlength=12).astype(float)
+    v_mc = (stolen / stolen.sum()) @ z
+    assert v[0] == pytest.approx(v_mc, abs=5e-3)
+    # convexity: result within the z-range of the samples
+    assert z.min() - 1e-12 <= v[0] <= z.max() + 1e-12
+    # hull-exterior queries are unlocated (documented deviation)
+    vals_out, loc_out = natural_neighbour(s, np.array([[50.0, 50.0]]))
+    assert not loc_out[0] and np.isnan(vals_out[0])
 
 
 def test_unknown_name(spark, sampleset, queryset):
