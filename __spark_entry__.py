@@ -388,7 +388,11 @@ def _q_bilinear_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from geotools_spark.operators.partitioning import spread
+
+    # single-row-group parquet scans as one task; spread before the
+    # text-heavy per-row work downstream
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

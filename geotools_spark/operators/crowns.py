@@ -52,11 +52,13 @@ def tree_crowns(
     the smoothed CHM ``raster``. Returns (cell_col, cell_row, top_id)
     for every crown cell (tops included)."""
     r2 = float(radius_cells) * float(radius_cells)
+    # materialize the CHM once — the loop would otherwise recompute the
+    # entire upstream raster pipeline on every iteration's join
     rast = raster.select(
         F.col("cell_col").alias("ncol"),
         F.col("cell_row").alias("nrow"),
         F.col(value).alias("_v"),
-    )
+    ).localCheckpoint(eager=True)
     assigned = tops.select(
         "cell_col",
         "cell_row",

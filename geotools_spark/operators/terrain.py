@@ -38,6 +38,7 @@ from geotools_spark.functions.geometry import (
     rugosity_acr,
     tin_interpolate,
 )
+from geotools_spark.operators.partitioning import cpu_partition
 
 
 def _ring_offsets_expr(n: int) -> str:
@@ -134,6 +135,7 @@ def normalize_heights(
         res_df["z_norm"] = zn
         return res_df
 
+    both = cpu_partition(both, "_cell_c", "_cell_r")
     out = both.groupBy("_cell_c", "_cell_r").applyInPandas(lambda _, pdf: _norm(pdf), schema_out)
     return out.withColumn(
         "z_norm", F.when(F.isnan("z_norm"), F.lit(None)).otherwise(F.col("z_norm"))
@@ -157,7 +159,7 @@ def rugosity(
         )
 
     schema = ", ".join(f"{g} long" for g in group) + ", acr double"
-    return cells.groupBy(*group).applyInPandas(_rug, schema)
+    return cpu_partition(cells, *group).groupBy(*group).applyInPandas(_rug, schema)
 
 
 def planar_interpolate(

@@ -44,8 +44,15 @@ CELL_EXPRS = (
 
 
 def points_df(spark, sf_dir: str):
-    """Derived point table on the Spark side."""
-    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(*POINT_EXPRS)
+    """Derived point table on the Spark side. The testdata parquet is a
+    single row group (one scan task), so spread it across the cluster
+    before the expression derivation — values are unchanged, DuckDB
+    parity unaffected."""
+    from geotools_spark.operators.partitioning import spread
+
+    return spread(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ).selectExpr(*POINT_EXPRS)
 
 
 def cells_df(spark, sf_dir: str):
