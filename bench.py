@@ -16,7 +16,11 @@ import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+# 1M docs: fixed job overhead (~3-4 s of scheduling/codegen across the
+# 4 actions) dominates below ~500k and understates steady-state
+# throughput by 3-4x; the headline regime is 10^12 docs, so measure
+# where the pipeline is pipeline-bound (throughput curve in BENCH.md)
+N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
 
 
 def _sf_of(path: str) -> float:

@@ -55,6 +55,7 @@ from __future__ import annotations
 import math
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -293,8 +294,107 @@ def feather(
     cols: int,
     rows: int,
     value: str = "value",
+    tile: int = 256,
 ) -> DataFrame:
-    """W7a: alpha mask by iterative edge snow-in (src/mosaic.cpp:56-99),
+    """W7a: alpha mask by edge snow-in (src/mosaic.cpp:56-99), computed
+    as a halo-tile distance transform: the synchronous peel wave means a
+    cell's layer index IS its (border-quirk-aware) D8 peel distance, so
+    one ``tiles_with_halo`` shuffle + a vectorized per-tile NumPy
+    erosion loop replaces the ~steps driver-side Spark jobs of the
+    literal formulation (kept as :func:`feather_iterative`, pinned
+    equal by tests). Halo = steps+2 cells: the wave advances one
+    Chebyshev cell per step, so any influence of cells outside the
+    window cannot reach the tile core within ``steps`` peels.
+    Single-tile semantics like the reference's single-raster run (the
+    reference's own per-tile border artifacts are NOT reproduced)."""
+    steps = max(1.0, float(distance) / float(resolution))
+    n_peel = int(math.floor(steps)) + 1
+    halo = n_peel + 1
+    t = int(tile)
+    if halo >= t:
+        t = 2 * halo
+    shipped = tiles_with_halo(
+        raster.filter(F.col(value).isNotNull()).select(
+            "cell_col", "cell_row", F.col(value).alias("value")
+        ),
+        tile=t,
+        halo=halo,
+    )
+    alphas = [
+        math.tanh(((min(steps, float(s)) - steps / 2.0) / (steps / 2.0)) * math.pi)
+        * 0.5
+        + 0.5
+        for s in range(n_peel)
+    ]
+
+    def _peel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tcol, trow = int(key[0]), int(key[1])
+        x0, y0 = tcol * t - halo, trow * t - halo
+        w = t + 2 * halo
+        valid = np.zeros((w, w), dtype=bool)
+        cc = pdf["cell_col"].to_numpy() - x0
+        rr = pdf["cell_row"].to_numpy() - y0
+        inb = (cc >= 0) & (cc < w) & (rr >= 0) & (rr < w)
+        valid[rr[inb], cc[inb]] = True
+        orig = valid.copy()
+        # border-edge quirk: the 3x3 neighbor-coord test makes the two
+        # outermost GLOBAL rings always edges
+        gc = np.arange(w) + x0
+        gr = np.arange(w) + y0
+        border = (
+            (gc[None, :] <= 1)
+            | (gc[None, :] >= cols - 2)
+            | (gr[:, None] <= 1)
+            | (gr[:, None] >= rows - 2)
+        )
+        layer = np.full((w, w), -1, dtype=np.int32)
+        for s in range(n_peel):
+            inv = ~valid
+            adj = inv.copy()
+            adj[:-1, :] |= inv[1:, :]
+            adj[1:, :] |= inv[:-1, :]
+            adj[:, :-1] |= inv[:, 1:]
+            adj[:, 1:] |= inv[:, :-1]
+            adj[:-1, :-1] |= inv[1:, 1:]
+            adj[:-1, 1:] |= inv[1:, :-1]
+            adj[1:, :-1] |= inv[:-1, 1:]
+            adj[1:, 1:] |= inv[:-1, :-1]
+            edge = valid & (adj | border)
+            if not edge.any():
+                break
+            layer[edge] = s
+            valid &= ~edge
+        core = np.zeros((w, w), dtype=bool)
+        core[halo : halo + t, halo : halo + t] = True
+        emit = orig & core
+        er, ec = np.nonzero(emit)
+        lay = layer[er, ec]
+        lut = np.array(alphas + [1.0])  # index n_peel = never peeled
+        alpha = lut[np.where(lay >= 0, lay, n_peel)]
+        return pd.DataFrame(
+            {
+                "cell_col": ec + x0,
+                "cell_row": er + y0,
+                "alpha": alpha.astype(np.float64),
+            }
+        )
+
+    return shipped.groupBy("tile_col", "tile_row").applyInPandas(
+        _peel, "cell_col long, cell_row long, alpha double"
+    )
+
+
+def feather_iterative(
+    raster: DataFrame,
+    *,
+    distance: float,
+    resolution: float,
+    cols: int,
+    rows: int,
+    value: str = "value",
+) -> DataFrame:
+    """W7a, literal driver-loop formulation of :func:`feather` (kept as
+    the transcription twin; src/mosaic.cpp:56-99),
     single-tile semantics (whole raster = one grid; the reference's
     per-tile runs differ at internal tile borders, a tiling artifact).
 

@@ -220,6 +220,19 @@ def test_feather_matches_oracle(spark):
     assert np.allclose(np.nan_to_num(got, nan=-1), np.nan_to_num(want, nan=-1), atol=1e-9)
 
 
+def test_feather_tiled_equals_iterative(spark):
+    # the halo-tile distance transform must reproduce the literal
+    # driver-loop peel bit-for-bit, including across tile borders
+    from geotools_spark.operators.raster import feather_iterative
+
+    g = make_grid(seed=13)
+    df = to_df(spark, g)
+    kw = dict(distance=5.0, resolution=1.0, cols=COLS, rows=ROWS)
+    a = collect_grid(feather(df, tile=8, **kw), "alpha", g.shape)  # force multi-tile
+    b = collect_grid(feather_iterative(df, **kw), "alpha", g.shape)
+    assert np.allclose(np.nan_to_num(a, nan=-1), np.nan_to_num(b, nan=-1), atol=1e-12)
+
+
 def test_blend_semantics(spark):
     base = to_df(spark, np.array([[1.0, np.nan], [3.0, 4.0]]))
     over = to_df(spark, np.array([[11.0, 12.0], [np.nan, 14.0]]))
