@@ -315,7 +315,11 @@ def _q_knn_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = pts.filter(F.col("pid") % 97 != 0).select(
         F.col("pid").alias("sid"), "x", "y", "z"
     )
-    knn = knn_join(q, s, k=3, res=1.0, rings=3)
+    # rings=1 (9-cell window): sample density is ~15 pts/cell at sf0.01
+    # and ~145 at sf0.1, so the 3rd neighbor sits far inside one ring —
+    # the exactness bound (knn_kth_dist_bound_ok: k-th dist <= rings*res)
+    # holds with 4x margin; rings=3 cost 5x the candidates for nothing
+    knn = knn_join(q, s, k=3, res=1.0, rings=1)
     return idw(knn).select("qid", F.round("idw", 6).alias("idw"))
 
 
@@ -865,7 +869,9 @@ def _q_normalize_heights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6/M7 pointnormalize; local Delaunay TIN — rows-only check."""
     from geotools_spark.operators.terrain import normalize_heights
 
-    pts = derive.points_df(spark, sf_dir)
+    # column-prune before the halo explode: everything selected here
+    # rides the shuffle AND the Arrow hop into the per-cell TIN worker
+    pts = derive.points_df(spark, sf_dir).select("pid", "x", "y", "z", "cls")
     # res sized so cell+halo groups stay small: the numpy Bowyer-Watson
     # is O(n^2)-ish per group, and group count x small-n parallelizes
     out = normalize_heights(pts, res=2.0, rings=1, ground_cls=2)
