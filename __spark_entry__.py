@@ -538,6 +538,38 @@ def _q_local_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("top_id", "cell_col", "cell_row", F.round("z", 6).alias("z"))
 
 
+def _rastfit_inputs(spark: SparkSession, sf_dir: str):
+    cells = derive.cells_df(spark, sf_dir)
+    base = cells.groupBy("cell_col", "cell_row").agg(F.avg("z").alias("value"))
+    adj = cells.groupBy("cell_col", "cell_row").agg(F.max("z").alias("value"))
+    return base, adj
+
+
+def _q_rastfit_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rastfit -t avg (src/rastfit.cpp): adjustment raster = the mean
+    of adj-base diffs over a deterministic 200-cell sample, applied to
+    every adj cell. Exact DuckDB oracle (the affine-mod sample order is
+    replayed in SQL)."""
+    from geotools_spark.operators.raster import rastfit
+
+    base, adj = _rastfit_inputs(spark, sf_dir)
+    out = rastfit(base, adj, method="shift", n_samples=200)
+    return out.select("cell_col", "cell_row", F.round("fit", 6).alias("fit"))
+
+
+def _q_rastfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rastfit -t nn: natural-neighbour interpolation of the sampled
+    diff surface (src/rastfit.cpp:148-199 + NaturalNeighbourInterpolator)
+    — rows-only check; the NN kernel itself is property-tested."""
+    from geotools_spark.operators.raster import rastfit
+
+    base, adj = _rastfit_inputs(spark, sf_dir)
+    out = rastfit(base, adj, method="natural_neighbour", n_samples=200)
+    return out.filter(F.col("fit").isNotNull()).select(
+        "cell_col", "cell_row", F.round("fit", 6).alias("fit")
+    )
+
+
 def _q_raster_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.raster import raster_pair_diff_stats
 
@@ -1028,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth3": _q_smooth3,
         "local_max": _q_local_max,
         "raster_diff": _q_raster_diff,
+        "rastfit_shift": _q_rastfit_shift,
+        "rastfit": _q_rastfit,
         "normalize_grid": _q_normalize_grid,
         "spectral": _q_spectral,
         "flood_label": _q_flood_label,
@@ -1465,6 +1499,24 @@ def oracle_sql() -> dict[str, str]:
            ROUND(VAR_SAMP(d), 6) AS dvar,
            ROUND(STDDEV_SAMP(d), 6) AS dstd
     FROM j GROUP BY cls
+    """
+
+    sqls["rastfit_shift"] = f"""
+    {_CELLS_CTE},
+    base AS (SELECT cell_col, cell_row, AVG(z) AS value
+             FROM cells GROUP BY cell_col, cell_row),
+    adj AS (SELECT cell_col, cell_row, MAX(z) AS value
+            FROM cells GROUP BY cell_col, cell_row),
+    overlap AS (SELECT adj.cell_col, adj.cell_row,
+                       adj.value - base.value AS d,
+                       (adj.cell_col * 104729 + adj.cell_row * 7919 + 1299709)
+                         % 999983 AS ok
+                FROM adj JOIN base USING (cell_col, cell_row)),
+    samples AS (SELECT d FROM overlap
+                ORDER BY ok, cell_col, cell_row LIMIT 200),
+    shift AS (SELECT AVG(d) AS fit FROM samples)
+    SELECT cell_col, cell_row, ROUND(shift.fit, 6) AS fit
+    FROM adj CROSS JOIN shift
     """
 
     sqls["normalize_grid"] = f"""

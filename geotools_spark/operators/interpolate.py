@@ -42,6 +42,15 @@ def interp_avg(
     return knn.groupBy("qid").agg(F.avg("z").alias("value"))
 
 
+def interp_shift(queries: DataFrame, samples: DataFrame, **_) -> DataFrame:
+    """AvgInterpolator's global branch (src/interp/Interpolators.cpp:
+    368-384, neighbours<=0): every query gets the plain mean of all
+    sample z — rastfit's 'shift vertically by the average difference'.
+    One scalar agg broadcast onto the query side; no per-query work."""
+    mean = samples.agg(F.avg("z").alias("value"))
+    return queries.select("qid").crossJoin(F.broadcast(mean))
+
+
 def interp_planar(queries: DataFrame, samples: DataFrame, **_) -> DataFrame:
     from geotools_spark.operators.terrain import planar_interpolate
 
@@ -142,6 +151,7 @@ def interp_natural_neighbour(queries: DataFrame, samples: DataFrame, **_) -> Dat
 REGISTRY = {
     "idw": interp_idw,
     "avg": interp_avg,
+    "shift": interp_shift,
     "planar": interp_planar,
     "kriging": interp_kriging,
     "loess": interp_loess,

@@ -550,6 +550,70 @@ def flood_label(
     )
 
 
+def rastfit(
+    base: DataFrame,
+    adj: DataFrame,
+    *,
+    method: str = "natural_neighbour",
+    n_samples: int = 200,
+    value: str = "value",
+    seed: int = 1299709,
+    **interp_params,
+) -> DataFrame:
+    """rastfit (src/rastfit.cpp:148-199): produce the adjustment raster
+    that fits ``adj`` onto ``base`` — sample ``z = adj - base`` where
+    both rasters are valid, then interpolate the difference surface
+    over adj's grid with the chosen interpolator ('nn', 'pl', 'avg',
+    'idw', 'sk' in the reference = our registry names).
+
+    Deviation (documented): the reference throws rand() darts at the
+    overlap bounds (src/rastfit.cpp:108-119); a distributed engine
+    needs a deterministic, rerun-stable sample, so we take the top
+    ``n_samples`` overlap cells by an affine-mod order key — same
+    low-discrepancy role, reproducible across runs/executors, and
+    expressible in the DuckDB oracle.
+
+    Returns (cell_col, cell_row, fit) over adj's valid cells.
+    """
+    from geotools_spark.operators.interpolate import interpolate
+
+    b = base.filter(F.col(value).isNotNull()).select(
+        "cell_col", "cell_row", F.col(value).alias("_b")
+    )
+    a = adj.filter(F.col(value).isNotNull()).select(
+        "cell_col", "cell_row", F.col(value).alias("_a")
+    )
+    overlap = a.join(b, ["cell_col", "cell_row"]).select(
+        "cell_col",
+        "cell_row",
+        (F.col("_a") - F.col("_b")).alias("_diff"),
+    )
+    ordkey = F.pmod(
+        F.col("cell_col") * 104729 + F.col("cell_row") * 7919 + F.lit(seed), F.lit(999983)
+    )
+    samples = (
+        overlap.orderBy(ordkey, "cell_col", "cell_row")
+        .limit(int(n_samples))
+        .select(
+            (F.col("cell_col") * 1000000 + F.col("cell_row")).alias("sid"),
+            F.col("cell_col").cast("double").alias("x"),
+            F.col("cell_row").cast("double").alias("y"),
+            F.col("_diff").alias("z"),
+        )
+    )
+    queries = a.select(
+        (F.col("cell_col") * 1000000 + F.col("cell_row")).alias("qid"),
+        F.col("cell_col").cast("double").alias("qx"),
+        F.col("cell_row").cast("double").alias("qy"),
+    )
+    out = interpolate(method, queries, samples, **interp_params)
+    return out.select(
+        F.floor(F.col("qid") / 1000000).alias("cell_col"),
+        F.pmod(F.col("qid"), F.lit(1000000)).alias("cell_row"),
+        F.col("value").alias("fit"),
+    )
+
+
 def raster_pair_diff_stats(
     rasters: DataFrame,
     classes: DataFrame,

@@ -70,7 +70,11 @@ def test_algebraic_grid_stats_whole_stage_codegen(spark):
     # vectorized parquet scan
     assert "HashAggregate" in plan and "ObjectHashAggregate" not in plan
     assert "partial_" in plan
-    assert plan.count("Exchange") == 1
+    # exactly one AGG shuffle (hash on the cell key); the scan-side
+    # round-robin spread of the single-row-group input is allowed and
+    # must never hash-shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange") <= 2
     assert "Batched: true" in plan
 
 

@@ -233,6 +233,31 @@ def test_feather_tiled_equals_iterative(spark):
     assert np.allclose(np.nan_to_num(a, nan=-1), np.nan_to_num(b, nan=-1), atol=1e-12)
 
 
+def test_rastfit_shift_is_constant_mean_diff(spark):
+    from geotools_spark.operators.raster import rastfit
+
+    g = make_grid(seed=5)
+    base = to_df(spark, g)
+    adj = to_df(spark, g + 2.5)
+    out = rastfit(base, adj, method="shift", n_samples=10).collect()
+    # identical +2.5 offset everywhere -> every sampled diff is 2.5
+    assert len(out) > 0
+    assert all(r.fit == pytest.approx(2.5) for r in out)
+
+
+def test_rastfit_nn_recovers_smooth_offset(spark):
+    from geotools_spark.operators.raster import rastfit
+
+    g = make_grid(seed=5)
+    base = to_df(spark, g)
+    adj = to_df(spark, g + 2.5)
+    out = rastfit(base, adj, method="natural_neighbour", n_samples=40).collect()
+    vals = [r.fit for r in out if r.fit is not None and not np.isnan(r.fit)]
+    # constant diff surface: NN has exactness on constants inside hull
+    assert len(vals) > 0
+    assert all(v == pytest.approx(2.5, abs=1e-9) for v in vals)
+
+
 def test_blend_semantics(spark):
     base = to_df(spark, np.array([[1.0, np.nan], [3.0, 4.0]]))
     over = to_df(spark, np.array([[11.0, 12.0], [np.nan, 14.0]]))
