@@ -707,6 +707,36 @@ def _q_loess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_las_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lasvalidate: survey stations vs TIN of nearby LiDAR returns
+    (2-D sorted-Heron barycentric, src/lasvalidate.cpp:176-232) —
+    rows-only check; kernel pinned by transcription/property tests in
+    tests/test_terrain.py."""
+    from geotools_spark.operators.terrain import validate_stations
+
+    pts = derive.points_df(spark, sf_dir).select("pid", "x", "y", "z", "cls")
+    stations = pts.filter(F.col("pid") % 449 == 0).select(
+        F.col("pid").alias("qid"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        F.col("z").alias("qz"),
+    )
+    returns = pts.filter(F.col("pid") % 449 != 0).select(
+        F.col("pid").alias("sid"), "x", "y", "z", "cls"
+    )
+    # radius sized to the synthetic density (~15 returns/cell at sf0.01,
+    # ~145 at sf0.1): 0.75 map units yields a comfortably triangulable
+    # neighborhood without cubing the per-station Delaunay cost
+    out = validate_stations(stations, returns, radius=0.75, res=0.75)
+    return out.select(
+        "qid",
+        "n_returns",
+        F.round("qz", 6).alias("qz"),
+        F.round("interp_z", 6).alias("interp_z"),
+        F.round("dz", 6).alias("dz"),
+    )
+
+
 def _q_natural_neighbour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13 Sibson natural neighbour (Watson stolen-area over NumPy
     Delaunay; reference: CGAL Voronoi, src/interp/Interpolators.cpp:
@@ -1084,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic": _q_mosaic,
         "loess": _q_loess,
         "natural_neighbour": _q_natural_neighbour,
+        "las_validate": _q_las_validate,
         "embed_neardup": _q_embed_neardup,
         "ann_ivf": _q_ann_ivf,
     }

@@ -407,6 +407,68 @@ def natural_neighbour(samples_xyz: np.ndarray, query_xy: np.ndarray,
     return out, located
 
 
+def kahan_area_2d(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> np.ndarray:
+    """2-D triangle area via the reference's sorted-side Heron formula
+    (lasvalidate triArea, src/lasvalidate.cpp:176-188): sides sorted
+    ascending (a <= b <= c), area = 0.25*sqrt((a+(b+c)) * (c-(a-b)) *
+    (c+(a-b)) * (a+(b-c))). Vectorized over stacked triangles."""
+    p0 = np.asarray(p0, dtype=np.float64)[..., :2]
+    p1 = np.asarray(p1, dtype=np.float64)[..., :2]
+    p2 = np.asarray(p2, dtype=np.float64)[..., :2]
+    s = np.stack(
+        [
+            np.linalg.norm(p0 - p1, axis=-1),
+            np.linalg.norm(p1 - p2, axis=-1),
+            np.linalg.norm(p2 - p0, axis=-1),
+        ],
+        axis=-1,
+    )
+    s.sort(axis=-1)
+    a, b, c = s[..., 0], s[..., 1], s[..., 2]
+    prod = (a + (b + c)) * (c - (a - b)) * (c + (a - b)) * (a + (b - c))
+    return 0.25 * np.sqrt(np.maximum(prod, 0.0))
+
+
+def tin_validate_z(returns_xyz: np.ndarray, sx: float, sy: float) -> float:
+    """lasvalidate interpolateSampleZ (src/lasvalidate.cpp:193-232):
+    Delaunay the nearby returns, find the triangle containing the
+    station, and barycentric-interpolate z with 2-D sorted-Heron area
+    ratios (weights on xy only — unlike pointnormalize's 3-D quirk).
+    Returns NaN when the station lies outside the TIN. Inclusive
+    containment (deviation: GEOS `contains` excludes the boundary;
+    on an edge the linear interpolant is continuous, so the value is
+    unchanged)."""
+    returns_xyz = np.asarray(returns_xyz, dtype=np.float64)
+    tris = delaunay(returns_xyz[:, :2])
+    if len(tris) == 0:
+        return float("nan")
+    t0 = returns_xyz[tris[:, 0]]
+    t1 = returns_xyz[tris[:, 1]]
+    t2 = returns_xyz[tris[:, 2]]
+
+    def _sign(pa, pb):
+        return (sx - pb[:, 0]) * (pa[:, 1] - pb[:, 1]) - (pa[:, 0] - pb[:, 0]) * (
+            sy - pb[:, 1]
+        )
+
+    d1, d2, d3 = _sign(t0, t1), _sign(t1, t2), _sign(t2, t0)
+    neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
+    pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
+    inside = ~(neg & pos)
+    if not inside.any():
+        return float("nan")
+    i = int(inside.argmax())
+    c0, c1, c2 = t0[i], t1[i], t2[i]
+    st = np.array([sx, sy])
+    tat = float(kahan_area_2d(c0, c1, c2))
+    if tat <= 0.0:
+        return float("nan")
+    ta2 = float(kahan_area_2d(c0, c1, st))
+    ta1 = float(kahan_area_2d(c0, c2, st))
+    ta0 = float(kahan_area_2d(c1, c2, st))
+    return (ta0 / tat) * c0[2] + (ta1 / tat) * c1[2] + (ta2 / tat) * c2[2]
+
+
 def delaunay_edges(xy: np.ndarray) -> np.ndarray:
     """Unique undirected edges of the Delaunay triangulation — the
     boundary extraction input (src/lasboundary.cpp:177-194)."""

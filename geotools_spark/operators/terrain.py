@@ -187,6 +187,70 @@ def planar_interpolate(
     return queries.withColumn("plane_z", val)
 
 
+def validate_stations(
+    stations: DataFrame,
+    returns: DataFrame,
+    *,
+    radius: float,
+    res: float | None = None,
+    classes: tuple[int, ...] | None = None,
+    cls: str = "cls",
+) -> DataFrame:
+    """lasvalidate (src/lasvalidate.cpp:240-330): for each survey
+    station, collect LiDAR returns within ``radius`` (optional class
+    filter), TIN the returns, and barycentric-interpolate z at the
+    station with 2-D sorted-Heron area ratios
+    (functions/geometry.tin_validate_z). Candidate returns come from
+    the cell-ring equi-join (no cross join); one small applyInPandas
+    group per station.
+
+    stations: (qid, qx, qy, qz); returns: (sid, x, y, z [, cls]).
+    Output: (qid, qz, n_returns, interp_z, dz) — dz NULL outside TIN.
+    """
+    import numpy as np
+
+    from geotools_spark.functions.geometry import tin_validate_z
+    from geotools_spark.operators.neighbors import knn_join
+
+    r = float(radius)
+    use_res = float(res) if res is not None else r
+    rings = max(1, int(math.ceil(r / use_res)))
+    if classes is not None:
+        returns = returns.filter(F.col(cls).isin(list(classes)))
+    cand = knn_join(
+        stations, returns.select("sid", "x", "y", "z"), k=1 << 30,
+        res=use_res, rings=rings,
+    ).filter(F.col("dist") <= r)
+
+    def _station(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qx = float(pdf["qx"].iloc[0])
+        qy = float(pdf["qy"].iloc[0])
+        qz = float(pdf["qz"].iloc[0])
+        xyz = np.column_stack(
+            [pdf["x"].to_numpy(), pdf["y"].to_numpy(), pdf["z"].to_numpy()]
+        )
+        iz = tin_validate_z(xyz, qx, qy)
+        return pd.DataFrame(
+            {
+                "qid": [key[0]],
+                "qz": [qz],
+                "n_returns": [len(pdf)],
+                "interp_z": [iz],
+            }
+        )
+
+    out = (
+        cpu_partition(cand, "qid")
+        .groupBy("qid")
+        .applyInPandas(_station, "qid long, qz double, n_returns int, interp_z double")
+    )
+    interp = F.when(F.isnan("interp_z"), F.lit(None)).otherwise(F.col("interp_z"))
+    return out.select(
+        "qid", "qz", "n_returns", interp.alias("interp_z"),
+        (F.col("qz") - interp).alias("dz"),
+    )
+
+
 def variogram_cloud(
     samples: DataFrame,
     *,

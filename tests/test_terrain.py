@@ -181,3 +181,53 @@ def test_boundary_edges(spark):
             cc = int(px - 0.5)
             rr = int(py + 0.5)
             assert cc in (0, 9) or rr in (0, 9) or min(cc, rr) <= 1 or max(cc, rr) >= 8
+
+
+def test_kahan_area_matches_shoelace():
+    from geotools_spark.functions.geometry import kahan_area_2d
+
+    rs = np.random.RandomState(3)
+    p = rs.uniform(0, 10, (50, 3, 2))
+    want = 0.5 * np.abs(
+        (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+        - (p[:, 2, 0] - p[:, 0, 0]) * (p[:, 1, 1] - p[:, 0, 1])
+    )
+    got = kahan_area_2d(p[:, 0], p[:, 1], p[:, 2])
+    assert np.allclose(got, want, rtol=1e-9)
+
+
+def test_tin_validate_z_properties():
+    from geotools_spark.functions.geometry import tin_validate_z
+
+    rs = np.random.RandomState(4)
+    xy = rs.uniform(0, 10, (40, 2))
+    # planar field: barycentric interpolation is exact inside the hull
+    z = 1.0 + 0.3 * xy[:, 0] - 0.2 * xy[:, 1]
+    xyz = np.column_stack([xy, z])
+    for sx, sy in [(5.0, 5.0), (3.3, 6.1), (7.7, 2.2)]:
+        got = tin_validate_z(xyz, sx, sy)
+        assert got == pytest.approx(1.0 + 0.3 * sx - 0.2 * sy, abs=1e-9)
+    # outside the hull -> NaN
+    assert np.isnan(tin_validate_z(xyz, 50.0, 50.0))
+
+
+def test_validate_stations_operator(spark):
+    from geotools_spark.operators.terrain import validate_stations
+
+    rs = np.random.RandomState(5)
+    xy = rs.uniform(0, 8, (400, 2))
+    z = 2.0 + 0.5 * xy[:, 0] + 0.1 * xy[:, 1]
+    returns = spark.createDataFrame(
+        [(i, float(xy[i, 0]), float(xy[i, 1]), float(z[i]), 2) for i in range(400)],
+        "sid long, x double, y double, z double, cls int",
+    )
+    stations = spark.createDataFrame(
+        [(0, 4.0, 4.0, 4.5), (1, 2.0, 6.0, 3.0)],
+        "qid long, qx double, qy double, qz double",
+    )
+    out = {r.qid: r for r in validate_stations(stations, returns, radius=1.5, res=1.0).collect()}
+    for qid, (sx, sy, sz) in {0: (4.0, 4.0, 4.5), 1: (2.0, 6.0, 3.0)}.items():
+        want = 2.0 + 0.5 * sx + 0.1 * sy
+        assert out[qid].interp_z == pytest.approx(want, abs=1e-9)
+        assert out[qid].dz == pytest.approx(sz - want, abs=1e-9)
+        assert out[qid].n_returns > 3
