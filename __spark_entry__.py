@@ -658,6 +658,29 @@ def _q_flood_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cell_col", "cell_row", "label")
 
 
+def _q_spill_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flood findSpillPoints: inter-basin candidate channels within
+    max_dist, via D8 edge extraction + a cell-bucketed distance join
+    (the reference's quadruple loop never materializes) — rows-only
+    driver check (quadruple-loop transcription oracle in
+    tests/test_raster.py)."""
+    from geotools_spark.operators.raster import flood_label, spill_points
+
+    basins = flood_label(
+        _mean_raster(spark, sf_dir),
+        predicate=F.col("value") <= 25.0,
+        connectivity=4,
+        max_iters=64,
+    )
+    out = spill_points(basins, max_dist=6.0, cols=64, rows=64)
+    return out.select(
+        "label_a", "x_a", "y_a", "label_b", "x_b", "y_b",
+        F.round("mid_x", 6).alias("mid_x"),
+        F.round("mid_y", 6).alias("mid_y"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def _q_feather_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 feather alpha mask; iterative — rows-only driver check
     (oracle covered by tests/test_raster.py vs the numpy snow-in)."""
@@ -1095,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_grid": _q_normalize_grid,
         "spectral": _q_spectral,
         "flood_label": _q_flood_label,
+        "spill_points": _q_spill_points,
         "feather_alpha": _q_feather_alpha,
         "void_fill": _q_void_fill,
         "csrs_transform": _q_csrs_transform,

@@ -453,6 +453,116 @@ def blend(
     )
 
 
+def spill_points(
+    basins: DataFrame,
+    *,
+    max_dist: float,
+    cols: int,
+    rows: int,
+    resx: float = 1.0,
+    resy: float = 1.0,
+) -> DataFrame:
+    """flood's findSpillPoints (src/flood.cpp:369-400): candidate
+    channels between basins = pairs of edge cells from DIFFERENT basins
+    within ``max_dist`` of each other.
+
+    The reference is a literal quadruple loop (every edge cell of every
+    basin pair). Here: edge extraction is one D8 self-join (a basin
+    cell with any in-bounds neighbor of a different/no label —
+    Basin::computeEdges, src/flood.cpp:150-173), and the pair search is
+    a cell-bucketed distance join at bucket size ``max_dist`` (each
+    edge cell meets only the 9 surrounding buckets — the all-pairs loop
+    never materializes). Distance is Euclidean on (col*resx, row*resy)
+    (Cell::distance, src/flood.cpp:118-124).
+
+    Output: (label_a, x_a, y_a, label_b, x_b, y_b, mid_x, mid_y, dist)
+    with label_a < label_b, the reference's CSV fields.
+    """
+    lab = basins.select("cell_col", "cell_row", "label")
+    ex = lab.select(
+        "cell_col",
+        "cell_row",
+        "label",
+        F.explode(F.expr(_window_offsets_expr(3))).alias("off"),
+    ).select(
+        "cell_col",
+        "cell_row",
+        "label",
+        (F.col("cell_col") + F.col("off.dx")).alias("ncol"),
+        (F.col("cell_row") + F.col("off.dy")).alias("nrow"),
+    ).filter(
+        (F.col("ncol") >= 0)
+        & (F.col("nrow") >= 0)
+        & (F.col("ncol") < cols)
+        & (F.col("nrow") < rows)
+        & ~((F.col("ncol") == F.col("cell_col")) & (F.col("nrow") == F.col("cell_row")))
+    )
+    nbr = lab.select(
+        F.col("cell_col").alias("ncol"),
+        F.col("cell_row").alias("nrow"),
+        F.col("label").alias("nlabel"),
+    )
+    edge = (
+        ex.join(nbr, ["ncol", "nrow"], "left")
+        .groupBy("cell_col", "cell_row", "label")
+        .agg(
+            F.max(
+                (F.col("nlabel").isNull() | (F.col("nlabel") != F.col("label"))).cast("int")
+            ).alias("_e")
+        )
+        .filter(F.col("_e") == 1)
+        .select(
+            "label",
+            (F.col("cell_col") * F.lit(float(resx))).alias("x"),
+            (F.col("cell_row") * F.lit(float(resy))).alias("y"),
+        )
+    )
+    d = float(max_dist)
+    edges = edge.withColumn("_bc", F.floor(F.col("x") / d)).withColumn(
+        "_br", F.floor(F.col("y") / d)
+    )
+    ring = (
+        "array("
+        + ", ".join(
+            f"struct({dx}L as dx, {dy}L as dy)" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        )
+        + ")"
+    )
+    a = edges.select(
+        F.col("label").alias("label_a"),
+        F.col("x").alias("x_a"),
+        F.col("y").alias("y_a"),
+        F.explode(F.expr(ring)).alias("off"),
+        (F.col("_bc")).alias("_abc"),
+        (F.col("_br")).alias("_abr"),
+    ).select(
+        "label_a", "x_a", "y_a",
+        (F.col("_abc") + F.col("off.dx")).alias("_bc"),
+        (F.col("_abr") + F.col("off.dy")).alias("_br"),
+    )
+    b = edges.select(
+        F.col("label").alias("label_b"),
+        F.col("x").alias("x_b"),
+        F.col("y").alias("y_b"),
+        "_bc",
+        "_br",
+    )
+    dx = F.col("x_a") - F.col("x_b")
+    dy = F.col("y_a") - F.col("y_b")
+    return (
+        a.join(b, ["_bc", "_br"])
+        .filter(F.col("label_a") < F.col("label_b"))
+        .withColumn("dist", F.sqrt(dx * dx + dy * dy))
+        .filter(F.col("dist") <= d)
+        .select(
+            "label_a", "x_a", "y_a", "label_b", "x_b", "y_b",
+            ((F.col("x_a") + F.col("x_b")) / 2.0).alias("mid_x"),
+            ((F.col("y_a") + F.col("y_b")) / 2.0).alias("mid_y"),
+            "dist",
+        )
+    )
+
+
 def flood_label(
     raster: DataFrame,
     *,

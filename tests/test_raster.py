@@ -404,3 +404,59 @@ def test_ring_fill_matches_oracle(spark):
     assert np.allclose(
         np.nan_to_num(out, nan=-1), np.nan_to_num(want, nan=-1), atol=1e-9
     )
+
+
+def test_spill_points_matches_quadruple_loop(spark):
+    from geotools_spark.operators.raster import spill_points
+
+    # two basin blobs with labels, plus an unlabeled gap between them
+    rows_in = []
+    for c in range(2, 6):
+        for r in range(2, 6):
+            rows_in.append((c, r, 1))
+    for c in range(9, 12):
+        for r in range(3, 7):
+            rows_in.append((c, r, 2))
+    for c in range(4, 7):
+        for r in range(10, 13):
+            rows_in.append((c, r, 3))
+    basins = spark.createDataFrame(rows_in, "cell_col long, cell_row long, label long")
+    got = {
+        (r.label_a, r.x_a, r.y_a, r.label_b, r.x_b, r.y_b): r.dist
+        for r in spill_points(basins, max_dist=5.0, cols=16, rows=16).collect()
+    }
+
+    # literal transcription of src/flood.cpp:150-173 + 369-400
+    cells = {(c, r): l for c, r, l in rows_in}
+
+    def edges_of(lbl):
+        out = []
+        for (c, r), l in cells.items():
+            if l != lbl:
+                continue
+            for rr in range(r - 1, r + 2):
+                for cc in range(c - 1, c + 2):
+                    if (cc, rr) == (c, r) or not (0 <= cc < 16 and 0 <= rr < 16):
+                        continue
+                    if cells.get((cc, rr)) != lbl:
+                        out.append((c, r))
+                        break
+                else:
+                    continue
+                break
+        return out
+
+    want = {}
+    import math as _m
+    for a in (1, 2, 3):
+        for b in (1, 2, 3):
+            if a >= b:
+                continue
+            for (c0, r0) in edges_of(a):
+                for (c1, r1) in edges_of(b):
+                    d = _m.sqrt((c0 - c1) ** 2 + (r0 - r1) ** 2)
+                    if d <= 5.0:
+                        want[(a, float(c0), float(r0), b, float(c1), float(r1))] = d
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
