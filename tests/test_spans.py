@@ -81,3 +81,39 @@ def test_hot_cell_skew_present(spark):
     )
     assert (counts[0].cx, counts[0].cy) == (1, 1)
     assert counts[0]["count"] > 5 * counts[1]["count"]
+
+
+def test_span_invariant_survives_shuffle_heavy_pipeline(spark):
+    """The north-rule invariant: after an operator chain full of
+    shuffles (cell assignment, hash repartition, aggregate join), rows
+    keyed by (doc_id, span_idx) still reassemble to the original
+    (kind, text, media_ref, offset) sequence byte-for-byte."""
+    from geotools_spark.functions.cells import with_cell
+
+    docs = synthetic_documents(spark, 250)
+    spans = explode_spans(docs)
+    pts = with_cell(parse_point_spans(spans), minx=0.0, miny=0.0, res=1.0, cols=64)
+    # shuffle on cell, aggregate, join back on cell — a typical chain
+    grid = pts.groupBy("cell_col", "cell_row").agg(F.avg("z").alias("cell_mean"))
+    enriched = (
+        pts.repartition(16, "cell_col", "cell_row")
+        .join(grid, ["cell_col", "cell_row"])
+    )
+    # text spans come back from the enriched point rows; media spans
+    # pass through untouched — splice both by (doc_id, span_idx)
+    media = spans.filter(F.col("kind") == "media")
+    rebuilt_rows = enriched.select(
+        "doc_id", "span_idx", F.lit("text").alias("kind"),
+        F.concat_ws(
+            ";",
+            F.format_string("%.4f", "x"), F.format_string("%.4f", "y"),
+            F.format_string("%.2f", "z"), F.col("intensity").cast("string"),
+            F.col("return_num").cast("string"), F.col("num_returns").cast("string"),
+            F.col("cls").cast("string"), F.col("scan_angle").cast("string"),
+            F.format_string("%.1f", "gps_time"), F.col("source_id").cast("string"),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        "offset",
+    ).unionByName(media.select("doc_id", "span_idx", "kind", "text", "media_ref", "offset"))
+    rebuilt = reassemble(rebuilt_rows)
+    assert _collect_docs(docs) == _collect_docs(rebuilt)
