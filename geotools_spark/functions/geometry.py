@@ -42,58 +42,103 @@ def delaunay(xy: np.ndarray) -> np.ndarray:
         [[cx - span, cy - span / 2], [cx + span, cy - span / 2], [cx, cy + span]]
     )
     pts = np.vstack([xy, sup])
+    px_all = pts[:, 0]
+    py_all = pts[:, 1]
+    p2_all = px_all * px_all + py_all * py_all  # squared norms, hoisted
     si = n  # super vertex base index
     # capacity-managed triangle store: live rows tracked by a mask so an
     # insertion touches only the cavity rows instead of copying the
-    # whole array (amortized O(cavity) per insert)
+    # whole array (amortized O(cavity) per insert). Circumcircles kept
+    # as three flat arrays (no 2-D slicing in the hot incircle test).
     cap = max(4 * n, 64)
     tris = np.empty((cap, 3), dtype=np.int64)
-    ccs = np.empty((cap, 3), dtype=np.float64)
+    ccx = np.empty(cap)
+    ccy = np.empty(cap)
+    ccr = np.empty(cap)
     live = np.zeros(cap, dtype=bool)
     tris[0] = (si, si + 1, si + 2)
-    ccs[0] = _circumcircles(pts, tris[:1])[0]
+
+    def _circum(tr):
+        # vectorized circumcircles via the hoisted coordinate/norm
+        # arrays; degenerate rows -> r^2 = inf (stay insertable)
+        a = tr[:, 0]
+        b = tr[:, 1]
+        c = tr[:, 2]
+        ax, ay = px_all[a], py_all[a]
+        bx, by = px_all[b], py_all[b]
+        cx_, cy_ = px_all[c], py_all[c]
+        d = 2.0 * (ax * (by - cy_) + bx * (cy_ - ay) + cx_ * (ay - by))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            a2, b2, c2 = p2_all[a], p2_all[b], p2_all[c]
+            ux = (a2 * (by - cy_) + b2 * (cy_ - ay) + c2 * (ay - by)) / d
+            uy = (a2 * (cx_ - bx) + b2 * (ax - cx_) + c2 * (bx - ax)) / d
+            r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+        deg = np.abs(d) < 1e-30
+        if deg.any():
+            ux[deg] = 0.0
+            uy[deg] = 0.0
+            r2[deg] = np.inf
+        return ux, uy, r2
+
+    ux0, uy0, r20 = _circum(tris[:1])
+    ccx[0], ccy[0], ccr[0] = ux0[0], uy0[0], r20[0]
     live[0] = True
     hi = 1  # rows [0, hi) may be live
 
-    order = np.argsort(pts[:n, 0], kind="mergesort")  # x-sweep improves locality
+    order = np.argsort(px_all[:n], kind="mergesort")  # x-sweep improves locality
     for p in order:
-        px, py = pts[p]
-        c = ccs[:hi]
-        bad = ((c[:, 0] - px) ** 2 + (c[:, 1] - py) ** 2 <= c[:, 2]) & live[:hi]
+        px = px_all[p]
+        py = py_all[p]
+        dx = ccx[:hi] - px
+        dy = ccy[:hi] - py
+        bad = (dx * dx + dy * dy <= ccr[:hi]) & live[:hi]
         if not bad.any():
             continue  # numerically outside everything: skip (degenerate dup)
         bad_idx = np.nonzero(bad)[0]
         bad_tris = tris[bad_idx]
-        # boundary of the cavity = undirected edges appearing exactly once
-        edges = np.vstack(
-            [bad_tris[:, [0, 1]], bad_tris[:, [1, 2]], bad_tris[:, [2, 0]]]
-        )
-        edges.sort(axis=1)
-        # encode undirected edges as one int64 — 1-D unique is several
-        # times cheaper than unique(axis=0)'s view machinery
-        e64 = (edges[:, 0] << 32) | edges[:, 1]
-        uniq, counts = np.unique(e64, return_counts=True)
-        bnd = uniq[counts == 1]
-        new_tris = np.column_stack(
-            [bnd >> 32, bnd & 0xFFFFFFFF, np.full(len(bnd), p, dtype=np.int64)]
-        )
-        new_ccs = _circumcircles(pts, new_tris)
+        # boundary of the cavity = undirected edges appearing exactly
+        # once; encode as int64 and find singletons in one sort pass
+        edges = bad_tris[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)
+        lo = edges.min(axis=1)
+        hi_v = edges.max(axis=1)
+        e64 = (lo << 32) | hi_v
+        e64.sort()
+        k = len(e64)
+        first = np.empty(k, dtype=bool)
+        first[0] = True
+        first[1:] = e64[1:] != e64[:-1]
+        last = np.empty(k, dtype=bool)
+        last[-1] = True
+        last[:-1] = e64[:-1] != e64[1:]
+        bnd = e64[first & last]
+        m = len(bnd)
+        new_tris = np.empty((m, 3), dtype=np.int64)
+        new_tris[:, 0] = bnd >> 32
+        new_tris[:, 1] = bnd & 0xFFFFFFFF
+        new_tris[:, 2] = p
+        nux, nuy, nr2 = _circum(new_tris)
         live[bad_idx] = False
         # reuse freed cavity rows first, then append
-        k = len(new_tris)
-        reuse = bad_idx[:k]
-        tris[reuse] = new_tris[: len(reuse)]
-        ccs[reuse] = new_ccs[: len(reuse)]
+        reuse = bad_idx[:m]
+        nr = len(reuse)
+        tris[reuse] = new_tris[:nr]
+        ccx[reuse] = nux[:nr]
+        ccy[reuse] = nuy[:nr]
+        ccr[reuse] = nr2[:nr]
         live[reuse] = True
-        extra = k - len(reuse)
+        extra = m - nr
         if extra > 0:
             if hi + extra > cap:
                 cap = max(2 * cap, hi + extra)
                 tris = np.concatenate([tris, np.empty((cap - len(tris), 3), np.int64)])
-                ccs = np.concatenate([ccs, np.empty((cap - len(ccs), 3), np.float64)])
+                ccx = np.concatenate([ccx, np.empty(cap - len(ccx))])
+                ccy = np.concatenate([ccy, np.empty(cap - len(ccy))])
+                ccr = np.concatenate([ccr, np.empty(cap - len(ccr))])
                 live = np.concatenate([live, np.zeros(cap - len(live), bool)])
-            tris[hi : hi + extra] = new_tris[len(reuse) :]
-            ccs[hi : hi + extra] = new_ccs[len(reuse) :]
+            tris[hi : hi + extra] = new_tris[nr:]
+            ccx[hi : hi + extra] = nux[nr:]
+            ccy[hi : hi + extra] = nuy[nr:]
+            ccr[hi : hi + extra] = nr2[nr:]
             live[hi : hi + extra] = True
             hi += extra
 
