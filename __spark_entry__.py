@@ -1501,6 +1501,66 @@ def oracle_sql() -> dict[str, str]:
         "(VALUES (-1),(0),(1)) b(dy))"
     )
 
+    # connected components as a recursive min-label propagation: the
+    # UNION-dedup recursion converges once every cell has seen its
+    # component's minimum cid — exactly flood_label's two-level scheme
+    _FLOOD_CTE = f"""
+    WITH RECURSIVE pts AS ({derive.POINTS_CTE}),
+    cells0 AS (SELECT *, CAST(FLOOR(x) AS BIGINT) AS cell_col,
+               CAST(FLOOR(y) AS BIGINT) AS cell_row FROM pts),
+    raster AS (SELECT cell_col, cell_row, AVG(z) AS value
+               FROM cells0 GROUP BY cell_col, cell_row),
+    comp AS (SELECT cell_col, cell_row,
+                    cell_row * 4294967296 + cell_col AS cid
+             FROM raster WHERE value <= 25.0),
+    cedges AS (SELECT a.cid AS ca, b.cid AS cb
+               FROM comp a JOIN comp b
+               ON abs(a.cell_col - b.cell_col)
+                  + abs(a.cell_row - b.cell_row) = 1),
+    lab AS (
+      SELECT cid, cid AS label FROM comp
+      UNION
+      SELECT e.cb AS cid, lab.label
+      FROM lab JOIN cedges e ON lab.cid = e.ca
+      WHERE lab.label < e.cb
+    ),
+    basins AS (SELECT cell_col, cell_row, MIN(label) AS label
+               FROM lab JOIN comp USING (cid)
+               GROUP BY cell_col, cell_row)
+    """
+
+    sqls["flood_label"] = _FLOOD_CTE + """
+    SELECT cell_col, cell_row, label FROM basins
+    """
+
+    sqls["spill_points"] = _FLOOD_CTE + """,
+    offs8 AS (SELECT a.dx, b.dy
+              FROM (VALUES (-1),(0),(1)) a(dx), (VALUES (-1),(0),(1)) b(dy)
+              WHERE NOT (a.dx = 0 AND b.dy = 0)),
+    nb AS (SELECT bs.cell_col, bs.cell_row, bs.label,
+                  bs.cell_col + o.dx AS ncol, bs.cell_row + o.dy AS nrow
+           FROM basins bs CROSS JOIN offs8 o
+           WHERE bs.cell_col + o.dx BETWEEN 0 AND 63
+             AND bs.cell_row + o.dy BETWEEN 0 AND 63),
+    edge AS (SELECT n.label,
+                    CAST(n.cell_col AS DOUBLE) AS x,
+                    CAST(n.cell_row AS DOUBLE) AS y
+             FROM nb n LEFT JOIN basins t
+               ON n.ncol = t.cell_col AND n.nrow = t.cell_row
+             GROUP BY n.label, n.cell_col, n.cell_row
+             HAVING MAX(CASE WHEN t.label IS NULL OR t.label <> n.label
+                             THEN 1 ELSE 0 END) = 1)
+    SELECT a.label AS label_a, a.x AS x_a, a.y AS y_a,
+           b.label AS label_b, b.x AS x_b, b.y AS y_b,
+           ROUND((a.x + b.x) / 2.0, 6) AS mid_x,
+           ROUND((a.y + b.y) / 2.0, 6) AS mid_y,
+           ROUND(SQRT((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+    FROM edge a JOIN edge b ON a.label < b.label
+    WHERE SQRT((a.x - b.x) * (a.x - b.x)
+               + (a.y - b.y) * (a.y - b.y)) <= 6.0
+    """
+
     sqls["smooth3"] = f"""
     {_RASTER_CTE}, {_OFFS},
     contrib AS (
