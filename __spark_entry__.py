@@ -538,6 +538,33 @@ def _q_local_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("top_id", "cell_col", "cell_row", F.round("z", 6).alias("z"))
 
 
+def _q_local_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 strict local minima (src/utils/findmin.cpp:30-64) — the
+    inverted-W2 window without the >0 quirk; exact DuckDB oracle."""
+    from geotools_spark.operators.raster import local_minima
+
+    out = local_minima(_mean_raster(spark, sf_dir), window=3, cols=64, rows=64)
+    return out.select("cell_col", "cell_row", F.round("z", 6).alias("z"))
+
+
+def _q_ring_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 expanding ring-mean nodata fill (treetops interpNodata,
+    src/treetops.cpp:115-165, clamped-ring double-count quirk kept) —
+    rows-only check; transcription oracle in tests/test_raster.py."""
+    from geotools_spark.operators.raster import ring_fill_mean
+
+    # knock holes into the mean raster deterministically, then fill
+    r = _mean_raster(spark, sf_dir).withColumn(
+        "value",
+        F.when((F.col("cell_col") * 31 + F.col("cell_row") * 17) % 23 == 0, F.lit(None))
+        .otherwise(F.col("value")),
+    )
+    out = ring_fill_mean(r, cols=64, rows=64)
+    return out.select(
+        "cell_col", "cell_row", F.round("value", 6).alias("value")
+    ).filter(F.col("value").isNotNull())
+
+
 def _rastfit_inputs(spark: SparkSession, sf_dir: str):
     cells = derive.cells_df(spark, sf_dir)
     base = cells.groupBy("cell_col", "cell_row").agg(F.avg("z").alias("value"))
@@ -1112,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "smooth3": _q_smooth3,
         "local_max": _q_local_max,
+        "local_min": _q_local_min,
+        "ring_fill": _q_ring_fill,
         "raster_diff": _q_raster_diff,
         "rastfit_shift": _q_rastfit_shift,
         "rastfit": _q_rastfit,
@@ -1594,6 +1623,21 @@ def oracle_sql() -> dict[str, str]:
     WHERE c IS NOT NULL AND c >= 20.0 AND c > 0
       AND (b IS NULL OR b < c) AND (a IS NULL OR a <= c)
       AND tcol BETWEEN 1 AND 61 AND trow BETWEEN 1 AND 61
+    """
+
+    sqls["local_min"] = f"""
+    {_RASTER_CTE}, {_OFFS},
+    contrib AS (
+      SELECT r.cell_col + o.dx AS tcol, r.cell_row + o.dy AS trow,
+        CASE WHEN o.dx = 0 AND o.dy = 0 THEN r.value END AS center_v,
+        CASE WHEN NOT (o.dx = 0 AND o.dy = 0) THEN r.value END AS nbr_v
+      FROM raster r CROSS JOIN offs o),
+    agg AS (SELECT tcol, trow, MAX(center_v) AS c, MIN(nbr_v) AS mn
+            FROM contrib GROUP BY tcol, trow)
+    SELECT tcol AS cell_col, trow AS cell_row, ROUND(c, 6) AS z
+    FROM agg
+    WHERE c IS NOT NULL AND (mn IS NULL OR c < mn)
+      AND tcol BETWEEN 1 AND 62 AND trow BETWEEN 1 AND 62
     """
 
     sqls["raster_diff"] = f"""
