@@ -547,6 +547,21 @@ def _q_local_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cell_col", "cell_row", F.round("z", 6).alias("z"))
 
 
+def _q_edge_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 isEdgePixel (src/mosaic.cpp:40-50): valid cell whose 3x3
+    window touches nodata or the quirky border test (two outermost
+    rings always edges). Exact DuckDB oracle."""
+    from geotools_spark.operators.raster import edge_pixels
+
+    r = _mean_raster(spark, sf_dir).withColumn(
+        "value",
+        F.when((F.col("cell_col") * 31 + F.col("cell_row") * 17) % 23 == 0, F.lit(None))
+        .otherwise(F.col("value")),
+    )
+    out = edge_pixels(r, cols=64, rows=64)
+    return out.select("cell_col", "cell_row", F.col("is_edge").cast("int").alias("is_edge"))
+
+
 def _q_ring_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 expanding ring-mean nodata fill (treetops interpNodata,
     src/treetops.cpp:115-165, clamped-ring double-count quirk kept) —
@@ -1140,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth3": _q_smooth3,
         "local_max": _q_local_max,
         "local_min": _q_local_min,
+        "edge_pixels": _q_edge_pixels,
         "ring_fill": _q_ring_fill,
         "raster_diff": _q_raster_diff,
         "rastfit_shift": _q_rastfit_shift,
@@ -1623,6 +1639,26 @@ def oracle_sql() -> dict[str, str]:
     WHERE c IS NOT NULL AND c >= 20.0 AND c > 0
       AND (b IS NULL OR b < c) AND (a IS NULL OR a <= c)
       AND tcol BETWEEN 1 AND 61 AND trow BETWEEN 1 AND 61
+    """
+
+    sqls["edge_pixels"] = f"""
+    {_RASTER_CTE}, {_OFFS},
+    holed AS (SELECT cell_col, cell_row,
+                     CASE WHEN (cell_col * 31 + cell_row * 17) % 23 = 0
+                          THEN NULL ELSE value END AS value
+              FROM raster),
+    valid AS (SELECT cell_col, cell_row FROM holed WHERE value IS NOT NULL),
+    ex AS (SELECT v.cell_col, v.cell_row,
+                  v.cell_col + o.dx AS ncol, v.cell_row + o.dy AS nrow
+           FROM valid v CROSS JOIN offs o),
+    j AS (SELECT e.cell_col, e.cell_row, e.ncol, e.nrow,
+                 CASE WHEN w.cell_col IS NOT NULL THEN 1 ELSE 0 END AS nvalid
+          FROM ex e LEFT JOIN valid w
+            ON e.ncol = w.cell_col AND e.nrow = w.cell_row)
+    SELECT cell_col, cell_row,
+           MAX(CASE WHEN ncol <= 0 OR nrow <= 0 OR ncol >= 63 OR nrow >= 63
+                      OR nvalid = 0 THEN 1 ELSE 0 END) AS is_edge
+    FROM j GROUP BY cell_col, cell_row
     """
 
     sqls["local_min"] = f"""
