@@ -1641,6 +1641,99 @@ def oracle_sql() -> dict[str, str]:
       AND tcol BETWEEN 1 AND 61 AND trow BETWEEN 1 AND 61
     """
 
+    # feather's synchronous peel = bounded D8 distance transform from
+    # the layer-0 edge set (same argument as the tiled operator), so a
+    # recursive min-propagation replays it exactly; steps=3 here
+    sqls["feather_alpha"] = f"""
+    WITH RECURSIVE pts AS ({derive.POINTS_CTE}),
+    cells0 AS (SELECT *, CAST(FLOOR(x) AS BIGINT) AS cell_col,
+               CAST(FLOOR(y) AS BIGINT) AS cell_row FROM pts),
+    valid AS (SELECT cell_col, cell_row
+              FROM cells0 GROUP BY cell_col, cell_row),
+    offs AS (SELECT a.dx, b.dy FROM (VALUES (-1),(0),(1)) a(dx),
+             (VALUES (-1),(0),(1)) b(dy)),
+    base AS (
+      SELECT v.cell_col, v.cell_row
+      FROM valid v CROSS JOIN offs o
+      LEFT JOIN valid w ON v.cell_col + o.dx = w.cell_col
+                       AND v.cell_row + o.dy = w.cell_row
+      GROUP BY v.cell_col, v.cell_row
+      HAVING MAX(CASE WHEN v.cell_col + o.dx <= 0 OR v.cell_row + o.dy <= 0
+                        OR v.cell_col + o.dx >= 63 OR v.cell_row + o.dy >= 63
+                        OR w.cell_col IS NULL THEN 1 ELSE 0 END) = 1),
+    wave AS (
+      SELECT cell_col, cell_row, 0 AS d FROM base
+      UNION
+      SELECT v.cell_col, v.cell_row, w.d + 1
+      FROM wave w JOIN valid v
+        ON abs(v.cell_col - w.cell_col) <= 1
+       AND abs(v.cell_row - w.cell_row) <= 1
+      WHERE w.d + 1 <= 3
+    ),
+    lay AS (SELECT cell_col, cell_row, MIN(d) AS d
+            FROM wave GROUP BY cell_col, cell_row)
+    SELECT v.cell_col, v.cell_row,
+      ROUND(CASE WHEN lay.d IS NULL THEN 1.0
+        ELSE ((exp(2.0 * ((CAST(lay.d AS DOUBLE) - 1.5) / 1.5) * pi()) - 1.0)
+              / (exp(2.0 * ((CAST(lay.d AS DOUBLE) - 1.5) / 1.5) * pi()) + 1.0))
+             * 0.5 + 0.5
+      END, 6) AS alpha
+    FROM valid v LEFT JOIN lay
+      ON v.cell_col = lay.cell_col AND v.cell_row = lay.cell_row
+    """
+
+    # mosaic = feather(overlay) + blend: the same recursive distance
+    # transform (steps=4 here) followed by the columnar blend rule
+    sqls["mosaic"] = f"""
+    WITH RECURSIVE pts AS ({derive.POINTS_CTE}),
+    cells0 AS (SELECT *, CAST(FLOOR(x) AS BIGINT) AS cell_col,
+               CAST(FLOOR(y) AS BIGINT) AS cell_row FROM pts),
+    bse AS (SELECT cell_col, cell_row, AVG(z) AS value
+            FROM cells0 GROUP BY cell_col, cell_row),
+    ovl AS (SELECT cell_col, cell_row, MAX(z) AS value
+            FROM cells0
+            WHERE cell_col BETWEEN 16 AND 47 AND cell_row BETWEEN 16 AND 47
+            GROUP BY cell_col, cell_row),
+    valid AS (SELECT cell_col, cell_row FROM ovl),
+    offs AS (SELECT a.dx, b.dy FROM (VALUES (-1),(0),(1)) a(dx),
+             (VALUES (-1),(0),(1)) b(dy)),
+    base0 AS (
+      SELECT v.cell_col, v.cell_row
+      FROM valid v CROSS JOIN offs o
+      LEFT JOIN valid w ON v.cell_col + o.dx = w.cell_col
+                       AND v.cell_row + o.dy = w.cell_row
+      GROUP BY v.cell_col, v.cell_row
+      HAVING MAX(CASE WHEN v.cell_col + o.dx <= 0 OR v.cell_row + o.dy <= 0
+                        OR v.cell_col + o.dx >= 63 OR v.cell_row + o.dy >= 63
+                        OR w.cell_col IS NULL THEN 1 ELSE 0 END) = 1),
+    wave AS (
+      SELECT cell_col, cell_row, 0 AS d FROM base0
+      UNION
+      SELECT v.cell_col, v.cell_row, w.d + 1
+      FROM wave w JOIN valid v
+        ON abs(v.cell_col - w.cell_col) <= 1
+       AND abs(v.cell_row - w.cell_row) <= 1
+      WHERE w.d + 1 <= 4
+    ),
+    lay AS (SELECT cell_col, cell_row, MIN(d) AS d
+            FROM wave GROUP BY cell_col, cell_row),
+    alph AS (
+      SELECT v.cell_col, v.cell_row,
+        CASE WHEN lay.d IS NULL THEN 1.0
+          ELSE ((exp(2.0 * ((CAST(lay.d AS DOUBLE) - 2.0) / 2.0) * pi()) - 1.0)
+                / (exp(2.0 * ((CAST(lay.d AS DOUBLE) - 2.0) / 2.0) * pi()) + 1.0))
+               * 0.5 + 0.5 END AS a
+      FROM valid v LEFT JOIN lay
+        ON v.cell_col = lay.cell_col AND v.cell_row = lay.cell_row)
+    SELECT b.cell_col, b.cell_row,
+      ROUND(CASE WHEN o.value IS NOT NULL AND a.a IS NOT NULL
+                 THEN b.value * (1.0 - a.a) + o.value * a.a
+                 ELSE b.value END, 6) AS value
+    FROM bse b
+    LEFT JOIN ovl o ON b.cell_col = o.cell_col AND b.cell_row = o.cell_row
+    LEFT JOIN alph a ON b.cell_col = a.cell_col AND b.cell_row = a.cell_row
+    """
+
     sqls["edge_pixels"] = f"""
     {_RASTER_CTE}, {_OFFS},
     holed AS (SELECT cell_col, cell_row,
