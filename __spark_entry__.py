@@ -735,12 +735,17 @@ def _q_feather_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_void_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5 expanding-radius IDW void fill; per-tile numpy — rows-only
-    driver check (semantics covered by tests/test_raster.py)."""
+    """W5 expanding-radius IDW void fill (src/raster.cpp:161-221);
+    tiled numpy, exact DuckDB oracle (min-radius rule + squared-distance
+    IDW in SQL). The synthetic raster has no natural voids, so holes
+    are punched deterministically to exercise the fill path."""
     from geotools_spark.operators.raster import void_fill_idw
 
-    # densify: union the mean raster with explicit nodata rows so voids exist
-    r = _mean_raster(spark, sf_dir)
+    r = _mean_raster(spark, sf_dir).withColumn(
+        "value",
+        F.when((F.col("cell_col") * 31 + F.col("cell_row") * 17) % 23 == 0, F.lit(None))
+        .otherwise(F.col("value")),
+    )
     dense = (
         spark.range(64 * 64)
         .select(
@@ -1680,6 +1685,50 @@ def oracle_sql() -> dict[str, str]:
       END, 6) AS alpha
     FROM valid v LEFT JOIN lay
       ON v.cell_col = lay.cell_col AND v.cell_row = lay.cell_row
+    """
+
+    # void fill: min-radius rule + squared-distance IDW replayed in SQL
+    # (exp=1.0 -> weight = 1/d0); the hole pattern matches the query
+    sqls["void_fill"] = f"""
+    {_RASTER_CTE},
+    holed AS (SELECT cell_col, cell_row,
+                     CASE WHEN (cell_col * 31 + cell_row * 17) % 23 = 0
+                          THEN NULL ELSE value END AS value
+              FROM raster),
+    grid AS (SELECT CAST(i % 64 AS BIGINT) AS cell_col,
+                    CAST(i // 64 AS BIGINT) AS cell_row
+             FROM generate_series(0, 4095) t(i)),
+    dense AS (SELECT g.cell_col, g.cell_row, r.value
+              FROM grid g LEFT JOIN holed r
+              ON g.cell_col = r.cell_col AND g.cell_row = r.cell_row),
+    voids AS (SELECT cell_col, cell_row FROM dense WHERE value IS NULL),
+    valid AS (SELECT cell_col, cell_row, value FROM dense
+              WHERE value IS NOT NULL),
+    cand AS (SELECT v.cell_col, v.cell_row, w.value,
+        CAST((v.cell_col - w.cell_col) * (v.cell_col - w.cell_col)
+           + (v.cell_row - w.cell_row) * (v.cell_row - w.cell_row)
+           AS DOUBLE) AS d0
+      FROM voids v JOIN valid w
+        ON abs(v.cell_col - w.cell_col) <= 8
+       AND abs(v.cell_row - w.cell_row) <= 8
+      WHERE (v.cell_col - w.cell_col) * (v.cell_col - w.cell_col)
+          + (v.cell_row - w.cell_row) * (v.cell_row - w.cell_row)
+          BETWEEN 1 AND 64),
+    radii AS (SELECT CAST(r AS DOUBLE) AS rad FROM generate_series(2, 8) t(r)),
+    counts AS (SELECT c.cell_col, c.cell_row, rd.rad, COUNT(*) AS n
+               FROM cand c JOIN radii rd ON c.d0 <= rd.rad * rd.rad
+               GROUP BY c.cell_col, c.cell_row, rd.rad),
+    rstar AS (SELECT cell_col, cell_row, MIN(rad) AS rad
+              FROM counts WHERE n >= 3 GROUP BY cell_col, cell_row),
+    filled AS (SELECT c.cell_col, c.cell_row,
+                      SUM(c.value / c.d0) / SUM(1.0 / c.d0) AS value
+               FROM cand c JOIN rstar s
+                 ON c.cell_col = s.cell_col AND c.cell_row = s.cell_row
+               WHERE c.d0 <= s.rad * s.rad
+               GROUP BY c.cell_col, c.cell_row)
+    SELECT cell_col, cell_row, ROUND(value, 6) AS value FROM valid
+    UNION ALL
+    SELECT cell_col, cell_row, ROUND(value, 6) AS value FROM filled
     """
 
     # mosaic = feather(overlay) + blend: the same recursive distance
