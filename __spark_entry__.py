@@ -1687,6 +1687,66 @@ def oracle_sql() -> dict[str, str]:
       ON v.cell_col = lay.cell_col AND v.cell_row = lay.cell_row
     """
 
+    # ring fill: the reference's two ring loops replayed literally —
+    # horizontal pass (clamped top/bottom rows) UNION ALL vertical pass
+    # (rows from max(1,·) — quirk — with clamped left/right cols); the
+    # corner double-count and border clamping fall out by construction
+    sqls["ring_fill"] = f"""
+    {_RASTER_CTE},
+    holed AS (SELECT cell_col, cell_row,
+                     CASE WHEN (cell_col * 31 + cell_row * 17) % 23 = 0
+                          THEN NULL ELSE value END AS value
+              FROM raster),
+    voids AS (SELECT cell_col, cell_row FROM holed WHERE value IS NULL),
+    valid AS (SELECT cell_col, cell_row, value FROM holed
+              WHERE value IS NOT NULL),
+    sizes AS (SELECT CAST(s AS BIGINT) AS s FROM generate_series(1, 16) t(s)),
+    ks AS (SELECT CAST(k AS BIGINT) AS k FROM generate_series(-16, 16) t(k)),
+    ring AS (
+      SELECT v.cell_col, v.cell_row, s.s,
+             v.cell_col + k.k AS pc, GREATEST(0, v.cell_row - s.s) AS pr
+      FROM voids v, sizes s, ks k
+      WHERE abs(k.k) <= s.s
+        AND v.cell_col + k.k BETWEEN GREATEST(0, v.cell_col - s.s)
+                                 AND LEAST(63, v.cell_col + s.s)
+      UNION ALL
+      SELECT v.cell_col, v.cell_row, s.s,
+             v.cell_col + k.k AS pc, LEAST(63, v.cell_row + s.s) AS pr
+      FROM voids v, sizes s, ks k
+      WHERE abs(k.k) <= s.s
+        AND v.cell_col + k.k BETWEEN GREATEST(0, v.cell_col - s.s)
+                                 AND LEAST(63, v.cell_col + s.s)
+      UNION ALL
+      SELECT v.cell_col, v.cell_row, s.s,
+             GREATEST(0, v.cell_col - s.s) AS pc, v.cell_row + k.k AS pr
+      FROM voids v, sizes s, ks k
+      WHERE abs(k.k) <= s.s
+        AND v.cell_row + k.k BETWEEN GREATEST(1, v.cell_row - s.s)
+                                 AND LEAST(63, v.cell_row + s.s)
+      UNION ALL
+      SELECT v.cell_col, v.cell_row, s.s,
+             LEAST(63, v.cell_col + s.s) AS pc, v.cell_row + k.k AS pr
+      FROM voids v, sizes s, ks k
+      WHERE abs(k.k) <= s.s
+        AND v.cell_row + k.k BETWEEN GREATEST(1, v.cell_row - s.s)
+                                 AND LEAST(63, v.cell_row + s.s)
+    ),
+    hits AS (SELECT r.cell_col, r.cell_row, r.s,
+                    SUM(w.value) AS tsum, COUNT(w.value) AS n
+             FROM ring r JOIN valid w
+               ON r.pc = w.cell_col AND r.pr = w.cell_row
+             GROUP BY r.cell_col, r.cell_row, r.s),
+    first_s AS (SELECT cell_col, cell_row, MIN(s) AS s
+                FROM hits WHERE n > 0 GROUP BY cell_col, cell_row),
+    filled AS (SELECT h.cell_col, h.cell_row, h.tsum / h.n AS value
+               FROM hits h JOIN first_s f
+                 ON h.cell_col = f.cell_col AND h.cell_row = f.cell_row
+                AND h.s = f.s)
+    SELECT cell_col, cell_row, ROUND(value, 6) AS value FROM valid
+    UNION ALL
+    SELECT cell_col, cell_row, ROUND(value, 6) AS value FROM filled
+    """
+
     # void fill: min-radius rule + squared-distance IDW replayed in SQL
     # (exp=1.0 -> weight = 1/d0); the hole pattern matches the query
     sqls["void_fill"] = f"""
