@@ -842,11 +842,13 @@ def tiles_with_halo(
     tile: int,
     halo: int,
     value: str = "value",
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each cell to its home tile plus every neighbor tile whose
     core lies within ``halo`` cells — the halo-duplication exchange.
     Output adds (tile_col, tile_row); core cells are the ones whose
-    home tile equals the shipped tile."""
+    home tile equals the shipped tile. ``extra`` columns pass through
+    (e.g. seed ids for region growing)."""
     if halo >= tile:
         raise ValueError("halo must be < tile")
     # A cell can influence up to 1 tile over in each direction when it
@@ -855,6 +857,7 @@ def tiles_with_halo(
         "cell_col",
         "cell_row",
         F.col(value).alias("value"),
+        *[F.col(c) for c in extra],
         F.explode(
             F.expr(
                 "array("
@@ -881,7 +884,8 @@ def tiles_with_halo(
         & (F.col("cell_row") <= hi_r)
     )
     return ex.filter(keep).select(
-        tc.alias("tile_col"), tr.alias("tile_row"), "cell_col", "cell_row", "value"
+        tc.alias("tile_col"), tr.alias("tile_row"), "cell_col", "cell_row", "value",
+        *extra,
     )
 
 
