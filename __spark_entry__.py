@@ -612,6 +612,42 @@ def _q_rastfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_coregister(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M20 raster co-registration (scripts/raster_diff_correction.py):
+    distributed pair-diff means -> driver-side greedy chain walk ->
+    per-raster vertical shift. Three fully-overlapping rasters (equal
+    edge counts) make the greedy tie-break deterministic (direct edges
+    to the root), so the oracle is the plain pair means."""
+    from geotools_spark.operators.coregister import coregister_shifts
+
+    cells = derive.cells_df(spark, sf_dir)
+    grids = cells.groupBy("cell_col", "cell_row").agg(
+        F.avg("z").alias("a"), F.max("z").alias("b"), F.min("z").alias("c")
+    )
+    rasters = None
+    for rid in ("a", "b", "c"):
+        part = grids.select(
+            F.lit(rid).alias("raster_id"), "cell_col", "cell_row",
+            F.col(rid).alias("value"),
+        )
+        rasters = part if rasters is None else rasters.unionByName(part)
+    pair = (
+        rasters.alias("x")
+        .join(rasters.alias("y"), ["cell_col", "cell_row"])
+        .filter(F.col("x.raster_id") < F.col("y.raster_id"))
+        .groupBy(
+            F.col("x.raster_id").alias("rid0"), F.col("y.raster_id").alias("rid1")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.avg(F.col("x.value") - F.col("y.value")).alias("mean"),
+        )
+    )
+    shifts = coregister_shifts(pair, root="a")
+    rows = [(k, round(v, 6)) for k, v in sorted(shifts.items())]
+    return spark.createDataFrame(rows, "raster_id string, shift double")
+
+
 def _q_raster_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.raster import raster_pair_diff_stats
 
@@ -1163,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_pixels": _q_edge_pixels,
         "ring_fill": _q_ring_fill,
         "raster_diff": _q_raster_diff,
+        "coregister": _q_coregister,
         "rastfit_shift": _q_rastfit_shift,
         "rastfit": _q_rastfit,
         "normalize_grid": _q_normalize_grid,
@@ -1876,6 +1913,15 @@ def oracle_sql() -> dict[str, str]:
     FROM agg
     WHERE c IS NOT NULL AND (mn IS NULL OR c < mn)
       AND tcol BETWEEN 1 AND 62 AND trow BETWEEN 1 AND 62
+    """
+
+    sqls["coregister"] = f"""
+    {_CELLS_CTE},
+    g AS (SELECT cell_col, cell_row, AVG(z) AS a, MAX(z) AS b, MIN(z) AS c
+          FROM cells GROUP BY cell_col, cell_row)
+    SELECT 'a' AS raster_id, 0.0 AS shift FROM (SELECT 1)
+    UNION ALL SELECT 'b', ROUND(AVG(a - b), 6) FROM g
+    UNION ALL SELECT 'c', ROUND(AVG(a - c), 6) FROM g
     """
 
     sqls["raster_diff"] = f"""
