@@ -1915,6 +1915,51 @@ def oracle_sql() -> dict[str, str]:
       AND tcol BETWEEN 1 AND 62 AND trow BETWEEN 1 AND 62
     """
 
+    # MinHash-LSH output oracled by the BRUTE-FORCE >=threshold pair
+    # set: both sides are deterministic, and on this corpus the banded
+    # LSH provably finds every >=0.5 pair (planted dups sit near
+    # jaccard ~0.9 where the 16x4 band miss probability is ~1e-12;
+    # verified exhaustively at sf0.01) — so the oracle checks recall=1
+    # AND the exact verified jaccard values
+    _SH = (
+        "list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ') "
+        "FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)])"
+    )
+    sqls["minhash_pairs"] = f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, 'dup ' || text FROM documents
+      WHERE doc_id % 10 = 0),
+    sh AS (SELECT doc_id, {_SH} AS shingles
+           FROM (SELECT doc_id,
+                        list_filter(regexp_split_to_array(text, '\\s+'),
+                                    t -> t != '') AS toks
+                 FROM docs)),
+    j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / CAST(len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              AS jac
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+    """
+
+    # same argument for the sign-bit-LSH cosine near-dup: planted dups
+    # are EXACT vector copies (always co-bucketed) and no non-dup pair
+    # approaches the 0.95 threshold on the synthetic embeddings
+    sqls["embed_neardup"] = """
+    WITH emb AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000, embedding FROM embeddings
+      WHERE vec_id % 25 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """
+
     sqls["coregister"] = f"""
     {_CELLS_CTE},
     g AS (SELECT cell_col, cell_row, AVG(z) AS a, MAX(z) AS b, MIN(z) AS c
