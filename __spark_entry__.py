@@ -1915,6 +1915,49 @@ def oracle_sql() -> dict[str, str]:
       AND tcol BETWEEN 1 AND 62 AND trow BETWEEN 1 AND 62
     """
 
+    # SimHash: the ENTIRE pipeline replayed in SQL, including Spark's
+    # xxhash64 (XXH64, seed 42) emulated in HUGEINT u64 arithmetic with
+    # 32-bit-split multiplication (testkit/xxh64_sql.py) — signatures,
+    # 16-bit band candidate join, and exact Hamming verify are then
+    # plain integer SQL. Corpus tokens are ASCII and <= 8 bytes (the
+    # generator supports < 16).
+    from geotools_spark.testkit.xxh64_sql import xxh64_ctes
+
+    _xx_ctes, _xx_final = xxh64_ctes("tok", "s", "h", prefix="xx")
+    sqls["simhash_pairs"] = (
+        """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, 'dup ' || text FROM documents
+      WHERE doc_id % 10 = 0),
+    tok AS (SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                               t -> t != '')) AS s
+            FROM docs),
+    """
+        + ",\n".join(_xx_ctes)
+        + f""",
+    bits AS (SELECT doc_id, g.b,
+                    SUM(CASE WHEN (h >> CAST(g.b AS INT)) & 1 = 1
+                             THEN 1 ELSE -1 END) AS sb
+             FROM {_xx_final} CROSS JOIN generate_series(0, 63) g(b)
+             GROUP BY doc_id, g.b),
+    sig AS (SELECT doc_id,
+                   SUM(CASE WHEN sb > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INT)
+                            ELSE CAST(0 AS HUGEINT) END) AS sh
+            FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE (((a.sh >> 0) & 65535) = ((b.sh >> 0) & 65535)
+        OR ((a.sh >> 16) & 65535) = ((b.sh >> 16) & 65535)
+        OR ((a.sh >> 32) & 65535) = ((b.sh >> 32) & 65535)
+        OR ((a.sh >> 48) & 65535) = ((b.sh >> 48) & 65535))
+      AND bit_count(xor(a.sh, b.sh)) <= 6
+    """
+    )
+
     # MinHash-LSH output oracled by the BRUTE-FORCE >=threshold pair
     # set: both sides are deterministic, and on this corpus the banded
     # LSH provably finds every >=0.5 pair (planted dups sit near
