@@ -1915,6 +1915,98 @@ def oracle_sql() -> dict[str, str]:
       AND tcol BETWEEN 1 AND 62 AND trow BETWEEN 1 AND 62
     """
 
+    # Media stubs: the synthetic media table derives everything from
+    # xxhash64(media_ref[, lit k]) and sha256 bytes, so with the XXH64
+    # emulation the fake decode/frame/embedding pipelines replay in SQL
+    # exactly: refs regenerate from the span-mix arithmetic, metadata
+    # from the hash chains, and the tiled-payload channel means reduce
+    # to closed-form cycle sums over the 32 sha bytes.
+    from geotools_spark.testkit.xxh64_sql import (
+        pmod_signed,
+        xxh64_ctes,
+        xxh64_int_const_ctes,
+    )
+
+    _ms_ctes, _ms_fin = xxh64_ctes("refs", "media_ref", "hb", prefix="hs")
+    _k2_ctes, _k2_fin = xxh64_int_const_ctes(_ms_fin, 2, "hb", "hw", prefix="k2")
+    _k3_ctes, _k3_fin = xxh64_int_const_ctes(_k2_fin, 3, "hb", "hh", prefix="k3")
+    _k1_ctes, _k1_fin = xxh64_int_const_ctes(_k3_fin, 1, "hb", "hd", prefix="k1")
+    _HEXV = "(strpos('0123456789abcdef', {c}) - 1)"
+    _media_prefix = f"""
+    WITH ids AS (SELECT CAST(i AS BIGINT) AS id FROM generate_series(0, 4999) t(i)),
+    spans AS (SELECT id, CAST(j AS BIGINT) AS i
+              FROM ids CROSS JOIN generate_series(0, 5) s(j)
+              WHERE j <= 1 + id % 5),
+    m1s AS (SELECT id, i,
+            ((id % 100000007) * 1103515245 + i * 826366247 + 12345)
+              % 2147483647 AS m1
+            FROM spans WHERE (id + i) % 4 = 3),
+    refs AS (SELECT DISTINCT
+             'tile/4/' || CAST(m1 % 16 AS VARCHAR) || '/'
+              || CAST(((m1 * 69069 + 1) % 2147483647) % 16 AS VARCHAR)
+              AS media_ref
+             FROM m1s),
+    {", ".join(_ms_ctes)},
+    {", ".join(_k2_ctes)},
+    {", ".join(_k3_ctes)},
+    {", ".join(_k1_ctes)},
+    meta AS MATERIALIZED (SELECT media_ref,
+      {pmod_signed('hb', 3)} AS kindix,
+      {pmod_signed('hw', 48)} * 16 + 64 AS width,
+      {pmod_signed('hh', 32)} * 16 + 64 AS height,
+      ({pmod_signed('hd', 1000)} + 1) * 40 AS duration_ms
+      FROM {_k1_fin}),
+    sha AS (SELECT media_ref, sha256(media_ref) AS hx FROM refs),
+    sb AS MATERIALIZED (SELECT s.media_ref, CAST(g.j AS BIGINT) AS j,
+           {_HEXV.format(c="substr(s.hx, CAST(2*g.j+1 AS INT), 1)")} * 16
+           + {_HEXV.format(c="substr(s.hx, CAST(2*g.j+2 AS INT), 1)")} AS byte
+           FROM sha s CROSS JOIN generate_series(0, 31) g(j)),
+    ssum AS (SELECT media_ref, SUM(byte) AS s FROM sb GROUP BY media_ref)
+    """
+    sqls["media_decode"] = _media_prefix + """,
+    img AS (SELECT m.media_ref, m.width * m.height AS wh
+            FROM meta m WHERE m.kindix = 0),
+    partial_r AS (SELECT i.media_ref,
+                         SUM(CASE WHEN g.k < i.wh % 32 THEN b.byte ELSE 0 END)
+                           AS pr
+                  FROM img i
+                  CROSS JOIN generate_series(0, 31) g(k)
+                  JOIN sb b ON b.media_ref = i.media_ref
+                           AND b.j = (3 * g.k) % 32
+                  GROUP BY i.media_ref),
+    partial_all AS (SELECT i.media_ref,
+                           SUM(CASE WHEN b.j < (3 * i.wh) % 32 THEN b.byte
+                                    ELSE 0 END) AS pa
+                    FROM img i JOIN sb b ON b.media_ref = i.media_ref
+                    GROUP BY i.media_ref)
+    SELECT i.media_ref,
+      ROUND(((i.wh // 32) * ss.s + pr.pr) / CAST(i.wh AS DOUBLE), 6) AS mean_r,
+      ROUND((((3 * i.wh) // 32) * ss.s + pa.pa)
+            / CAST(3 * i.wh AS DOUBLE), 6) AS brightness
+    FROM img i
+    JOIN ssum ss ON ss.media_ref = i.media_ref
+    JOIN partial_r pr ON pr.media_ref = i.media_ref
+    JOIN partial_all pa ON pa.media_ref = i.media_ref
+    """
+
+    sqls["media_frames"] = _media_prefix + """,
+    vid AS (SELECT media_ref, duration_ms FROM meta WHERE kindix = 2),
+    buckets AS (SELECT b.media_ref, g.p % 8 AS bkt, SUM(b.byte) AS v
+                FROM generate_series(0, 255) g(p)
+                JOIN sb b ON b.j = g.p % 32
+                GROUP BY b.media_ref, g.p % 8),
+    nrm AS (SELECT media_ref, SQRT(SUM(v * v)) AS nn FROM buckets
+            GROUP BY media_ref),
+    e0 AS (SELECT b.media_ref,
+                  CASE WHEN n.nn > 0 THEN b.v / n.nn ELSE b.v END AS e0
+           FROM buckets b JOIN nrm n ON b.media_ref = n.media_ref
+           WHERE b.bkt = 0)
+    SELECT v.media_ref,
+           CAST(GREATEST(v.duration_ms - 1, 0) // 500 + 1 AS BIGINT) AS n_frames,
+           ROUND(e0.e0, 6) AS e0
+    FROM vid v JOIN e0 ON e0.media_ref = v.media_ref
+    """
+
     # SimHash: the ENTIRE pipeline replayed in SQL, including Spark's
     # xxhash64 (XXH64, seed 42) emulated in HUGEINT u64 arithmetic with
     # 32-bit-split multiplication (testkit/xxh64_sql.py) — signatures,

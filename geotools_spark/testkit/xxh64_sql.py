@@ -38,6 +38,47 @@ def _rotl(col: str, r: int) -> str:
     return _u(f"({col} << {r}) | ({col} >> {64 - r})")
 
 
+def xxh64_int_const_ctes(src: str, k: int, seed_col: str, out: str, *, prefix: str):
+    """Chained CTEs for Spark's ``xxhash64(..., lit(k))`` continuation:
+    XXH64 of the 4-byte INT literal ``k`` with the previous hash as
+    seed (Spark chains multi-arg hashes; lit ints take the hashInt
+    path: h = seed+P5+4; h ^= (k & 0xffffffff)*P1; h = rotl(h,23)*P2+P3;
+    avalanche). ``k*P1 mod 2^64`` folds to a literal."""
+    p = prefix
+    kconst = ((k & 0xFFFFFFFF) * P1) % (1 << 64)
+    ctes: list[str] = []
+    cur = src
+    n = 0
+
+    def step(cols: str) -> None:
+        nonlocal cur, n
+        ctes.append(f"{p}{n} AS (SELECT *, {cols} FROM {cur})")
+        cur = f"{p}{n}"
+        n += 1
+
+    step(_u(f"{seed_col} + {P5} + 4") + f" AS {p}_h0")
+    step(f"xor({p}_h0, CAST({kconst} AS HUGEINT)) AS {p}_h1")
+    step(f"{_rotl(p + '_h1', 23)} AS {p}_h1r")
+    step(_u(_mul(p + "_h1r", P2) + f" + {P3}") + f" AS {p}_h2")
+    step(f"xor({p}_h2, {p}_h2 >> 33) AS {p}_a1")
+    step(f"{_mul(p + '_a1', P2)} AS {p}_a2")
+    step(f"xor({p}_a2, {p}_a2 >> 29) AS {p}_a3")
+    step(f"{_mul(p + '_a3', P3)} AS {p}_a4")
+    step(f"xor({p}_a4, {p}_a4 >> 32) AS {out}")
+    return ctes, cur
+
+
+def pmod_signed(h_col: str, m: int) -> str:
+    """Spark ``pmod(hash, m)`` where the JVM sees the hash as a SIGNED
+    long: signed = h - 2^64*[h >= 2^63], and pmod = ((signed % m) + m)
+    % m = ((h % m) - (2^64 % m)*[h >= 2^63] + 2*m) % m on u64 h."""
+    w = (1 << 64) % m
+    return (
+        f"((({h_col} % {m}) - CASE WHEN {h_col} >= 9223372036854775808 "
+        f"THEN {w} ELSE 0 END + {2 * m}) % {m})"
+    )
+
+
 def xxh64_ctes(src: str, text_col: str, out: str, *, prefix: str, seed: int = 42):
     """Build chained CTEs computing XXH64(utf8(text_col), seed) as a
     HUGEINT column ``out`` in [0, 2^64); all other columns of ``src``
