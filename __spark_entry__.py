@@ -760,8 +760,9 @@ def _q_spill_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_feather_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W7 feather alpha mask; iterative — rows-only driver check
-    (oracle covered by tests/test_raster.py vs the numpy snow-in)."""
+    """W7 feather alpha mask — ONE halo-tile distance-transform pass
+    (operators/raster.feather); exact DuckDB oracle (recursive
+    min-distance CTE) + numpy snow-in transcription in tests."""
     from geotools_spark.operators.raster import feather
 
     out = feather(
@@ -864,10 +865,10 @@ def _q_natural_neighbour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W7 mosaic: feather the overlay's data edges (iterative tanh
-    snow-in) then alpha-blend onto the base where both valid
-    (src/mosaic.cpp:56-115,330-351); rows-only check (numpy snow-in
-    oracle in tests/test_raster.py)."""
+    """W7 mosaic: feather the overlay's data edges (one halo-tile
+    distance transform) then alpha-blend onto the base where both
+    valid (src/mosaic.cpp:56-115,330-351); exact DuckDB oracle
+    (recursive distance CTE + columnar blend)."""
     from geotools_spark.operators.raster import blend, feather
 
     base = _mean_raster(spark, sf_dir)
@@ -1093,8 +1094,9 @@ def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_tree_crowns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9 crown region-growing from W2 treetops over the smoothed
-    mean-z raster (the composed treetops pipeline); bounded frontier
-    iteration — rows-only check (BFS oracle in tests/test_crowns.py)."""
+    mean-z raster (the composed treetops pipeline); ONE halo-tile
+    vectorized BFS pass — rows-only check (BFS oracle + tiled≡
+    iterative parity in tests/test_crowns.py)."""
     from geotools_spark.operators.crowns import treetops_pipeline
 
     tops, crowns = treetops_pipeline(

@@ -40,9 +40,13 @@ def load_shift_grid(path: str | None = None):
         grid, transform = read_strip_tiff(_SOURCE_TIFF)
         try:
             os.makedirs(os.path.dirname(target), exist_ok=True)
+            # atomic publish: concurrent sessions must never observe a
+            # half-written zip (np.load would raise BadZipFile)
+            tmp = f"{target}.{os.getpid()}.tmp"
             np.savez_compressed(
-                target, grid=grid.astype(np.float32), transform=np.asarray(transform)
+                tmp, grid=grid.astype(np.float32), transform=np.asarray(transform)
             )
+            os.replace(f"{tmp}.npz" if os.path.exists(f"{tmp}.npz") else tmp, target)
         except OSError:
             pass
         return grid.astype(np.float64), tuple(transform)

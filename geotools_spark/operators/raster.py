@@ -521,18 +521,11 @@ def spill_points(
     edges = edge.withColumn("_bc", F.floor(F.col("x") / d)).withColumn(
         "_br", F.floor(F.col("y") / d)
     )
-    ring = (
-        "array("
-        + ", ".join(
-            f"struct({dx}L as dx, {dy}L as dy)" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-        )
-        + ")"
-    )
     a = edges.select(
         F.col("label").alias("label_a"),
         F.col("x").alias("x_a"),
         F.col("y").alias("y_a"),
-        F.explode(F.expr(ring)).alias("off"),
+        F.explode(F.expr(_window_offsets_expr(3))).alias("off"),
         (F.col("_bc")).alias("_abc"),
         (F.col("_br")).alias("_abr"),
     ).select(
@@ -705,22 +698,27 @@ def rastfit(
         overlap.orderBy(ordkey, "cell_col", "cell_row")
         .limit(int(n_samples))
         .select(
-            (F.col("cell_col") * 1000000 + F.col("cell_row")).alias("sid"),
+            F.monotonically_increasing_id().alias("sid"),
             F.col("cell_col").cast("double").alias("x"),
             F.col("cell_row").cast("double").alias("y"),
             F.col("_diff").alias("z"),
         )
     )
+    # keep the (qid -> cell) mapping as data instead of arithmetic
+    # packing — negative coordinates or >1e6-row grids would silently
+    # misdecode a packed key
     queries = a.select(
-        (F.col("cell_col") * 1000000 + F.col("cell_row")).alias("qid"),
+        F.monotonically_increasing_id().alias("qid"),
+        "cell_col",
+        "cell_row",
         F.col("cell_col").cast("double").alias("qx"),
         F.col("cell_row").cast("double").alias("qy"),
+    ).localCheckpoint(eager=True)  # pin the nondeterministic ids
+    out = interpolate(
+        method, queries.select("qid", "qx", "qy"), samples, **interp_params
     )
-    out = interpolate(method, queries, samples, **interp_params)
-    return out.select(
-        F.floor(F.col("qid") / 1000000).alias("cell_col"),
-        F.pmod(F.col("qid"), F.lit(1000000)).alias("cell_row"),
-        F.col("value").alias("fit"),
+    return queries.select("qid", "cell_col", "cell_row").join(out, "qid").select(
+        "cell_col", "cell_row", F.col("value").alias("fit")
     )
 
 

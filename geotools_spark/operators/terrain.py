@@ -245,9 +245,22 @@ def validate_stations(
         .applyInPandas(_station, "qid long, qz double, n_returns int, interp_z double")
     )
     interp = F.when(F.isnan("interp_z"), F.lit(None)).otherwise(F.col("interp_z"))
-    return out.select(
-        "qid", "qz", "n_returns", interp.alias("interp_z"),
-        (F.col("qz") - interp).alias("dz"),
+    found = out.select(
+        "qid", "n_returns", interp.alias("interp_z")
+    )
+    # every station gets a row (the reference writes one per survey
+    # point): stations with zero in-radius returns report n_returns=0
+    # and NULL interp_z/dz instead of vanishing from the inner join
+    return (
+        stations.select("qid", "qz")
+        .join(found, "qid", "left")
+        .select(
+            "qid",
+            "qz",
+            F.coalesce(F.col("n_returns"), F.lit(0)).alias("n_returns"),
+            "interp_z",
+            (F.col("qz") - F.col("interp_z")).alias("dz"),
+        )
     )
 
 
