@@ -698,7 +698,8 @@ def rastfit(
         overlap.orderBy(ordkey, "cell_col", "cell_row")
         .limit(int(n_samples))
         .select(
-            F.monotonically_increasing_id().alias("sid"),
+            # deterministic id (kNN-style interpolators tie-break on it)
+            F.xxhash64("cell_col", "cell_row").alias("sid"),
             F.col("cell_col").cast("double").alias("x"),
             F.col("cell_row").cast("double").alias("y"),
             F.col("_diff").alias("z"),
