@@ -529,6 +529,20 @@ def _q_smooth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_smooth3_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 scale path: halo-tile NumPy convolution twin of smooth3 —
+    same semantics, one shuffle on the tile key; gated by the SAME
+    DuckDB oracle (tile=16 forces real multi-tile halos here)."""
+    from geotools_spark.operators.raster import gaussian_smooth_tiled
+
+    out = gaussian_smooth_tiled(
+        _mean_raster(spark, sf_dir), sigma=0.8, size=3, cols=64, rows=64, tile=16
+    )
+    return out.filter(F.col("smoothed").isNotNull()).select(
+        "cell_col", "cell_row", F.round("smoothed", 6).alias("smoothed")
+    )
+
+
 def _q_local_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.raster import local_maxima
 
@@ -1196,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh": _q_ann_lsh,
         "smooth3": _q_smooth3,
+        "smooth3_tiled": _q_smooth3_tiled,
         "local_max": _q_local_max,
         "local_min": _q_local_min,
         "edge_pixels": _q_edge_pixels,
@@ -2105,6 +2120,8 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT 'b', ROUND(AVG(a - b), 6) FROM g
     UNION ALL SELECT 'c', ROUND(AVG(a - c), 6) FROM g
     """
+
+    sqls["smooth3_tiled"] = sqls["smooth3"]
 
     sqls["raster_diff"] = f"""
     {_CELLS_CTE},
