@@ -153,9 +153,21 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    jac = jaccard_expr(F.col("sh_a"), F.col("sh_b"))
+    # materialize |A∩B| once — jaccard_expr would evaluate
+    # array_intersect twice per candidate (codegen does not CSE it)
+    wi = cand.select(
+        "id_a",
+        "id_b",
+        F.size("sh_a").alias("_sa"),
+        F.size("sh_b").alias("_sb"),
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("_si"),
+    )
     return (
-        cand.withColumn("jaccard", jac)
+        wi.withColumn(
+            "jaccard",
+            F.col("_si")
+            / (F.col("_sa") + F.col("_sb") - F.col("_si")).cast("double"),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -38,7 +38,10 @@ def _stop_count(toks, lang: str):
 def text_metrics(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """token count, char count, mean token length, stopword ratio,
     digit ratio, and a composite quality score in [0, 1]."""
-    toks = tokens_expr(text_col)
+    # materialize the tokenization once — repeated split+filter
+    # subexpressions are NOT deduplicated by codegen (see spans.py)
+    docs = docs.withColumn("_toks", tokens_expr(text_col))
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     n_char = F.length(F.col(text_col))
     sum_tok_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
@@ -76,8 +79,13 @@ def text_metrics(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
 def lang_id(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID with deterministic tie-break
     (first language in en > fr > de > es order wins ties)."""
-    toks = tokens_expr(text_col)
-    scores = {lang: _stop_count(toks, lang) for lang in STOPWORDS}
+    # materialize the tokenization AND each language score once: the
+    # tie-break CASE chain references every score several times and
+    # codegen re-evaluates split+filter per reference otherwise
+    docs = docs.withColumn("_toks", tokens_expr(text_col))
+    for lang in STOPWORDS:
+        docs = docs.withColumn(f"_sc_{lang}", _stop_count(F.col("_toks"), lang))
+    scores = {lang: F.col(f"_sc_{lang}") for lang in STOPWORDS}
     langs = list(STOPWORDS)
     # first-match CASE chain: earlier language wins ties
     pred = None
