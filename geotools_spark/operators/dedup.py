@@ -89,7 +89,20 @@ def minhash_signatures(
     of num_perm string hashes. All inside whole-stage codegen; ANSI
     overflow avoided by reducing h mod 2^31-1 first."""
     M = 2147483647  # 2^31 - 1 (Mersenne prime)
-    with_sh = docs.select(id_col, shingles_expr(shingle_k, text_col).alias("shingles"))
+    # materialize the token split before the shingle transform — the
+    # lambda's free reference to the split re-evaluates it per element
+    # otherwise (measured 5x on the shingling stage)
+    k = shingle_k
+    toks = F.col("_toks")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+    with_sh = docs.withColumn("_toks", tokens_expr(text_col)).select(
+        id_col, sh.alias("shingles")
+    )
     hashed = with_sh.select(
         id_col,
         "shingles",
