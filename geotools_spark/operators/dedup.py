@@ -41,7 +41,10 @@ def tokens_expr(text_col: str = "text"):
 
 
 def shingles_expr(k: int, text_col: str = "text"):
-    """distinct word k-shingles."""
+    """distinct word k-shingles. NOTE: the transform lambda's free
+    reference to the token split re-evaluates it per element — callers
+    on a hot path should materialize the split as a column first and
+    inline this shape (see minhash_signatures)."""
     toks = tokens_expr(text_col)
     return F.array_distinct(
         F.transform(
