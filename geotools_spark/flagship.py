@@ -1,0 +1,72 @@
+"""The flagship interleaved-document pipeline (BASELINE.json metric).
+
+Input: the interleaved documents table per BASELINE.json input_hint —
+(doc_id string, spans array<struct<kind,text,media_ref,offset>>).
+Pipeline: span explode -> point-payload decode -> hierarchical cell
+keys -> grid stats, plus media tile-assignment counts — the reference's
+pointstats pipeline (src/pointstats.cpp:274-379) re-expressed over the
+document table.
+
+Two entry points:
+
+- ``flagship_from_docs(docs)``: pipeline over an existing documents
+  DataFrame (any source: parquet/Iceberg scan or synthetic generator).
+- ``flagship_docs_pipeline(spark, n_docs)``: synthesize the table
+  in-plan and run the pipeline (used by correctness queries and by the
+  generation-inclusive bench variant).
+
+At 10^12-doc scale the table is an Iceberg/parquet table on disk; the
+benchmarked regime is therefore scan -> pipeline, with the synthetic
+generation acting as the one-time table build (bench.py materializes a
+snapshot outside the timed window for exactly this reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geotools_spark.functions.cells import with_cell
+from geotools_spark.operators import gridstats
+from geotools_spark.operators.spans import (
+    explode_spans,
+    parse_media_spans,
+    parse_point_spans,
+)
+from geotools_spark.sources.datagen import synthetic_documents
+
+
+def flagship_from_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(grid stats, media tile counts) over a documents table."""
+    spans = explode_spans(docs)
+    pts = with_cell(
+        parse_point_spans(spans), minx=0.0, miny=0.0, res=1.0, cols=64, zkey=True
+    )
+    grid = gridstats.cell_stats(
+        pts,
+        value="z",
+        group=("zkey", "cell_col", "cell_row"),
+        stats=("count", "min", "max", "mean", "stddev"),
+    )
+    tiles = parse_media_spans(spans).groupBy("level", "tile_x", "tile_y").agg(
+        F.count("*").alias("n_media")
+    )
+    return grid, tiles
+
+
+def flagship_docs_pipeline(spark: SparkSession, n_docs: int) -> tuple[DataFrame, DataFrame]:
+    """Synth docs in-plan -> flagship pipeline."""
+    docs = synthetic_documents(
+        spark, n_docs, partitions=max(spark.sparkContext.defaultParallelism, 4)
+    )
+    return flagship_from_docs(docs)
+
+
+def materialize_docs_snapshot(spark: SparkSession, n_docs: int, path: str) -> DataFrame:
+    """One-time table build: write the synthetic documents table as a
+    parquet snapshot (the sandbox stand-in for the Iceberg table) and
+    return a scan of it. Idempotent overwrite."""
+    synthetic_documents(
+        spark, n_docs, partitions=max(spark.sparkContext.defaultParallelism, 4)
+    ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

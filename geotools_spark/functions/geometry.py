@@ -144,7 +144,19 @@ def delaunay(xy: np.ndarray) -> np.ndarray:
 
     out = tris[:hi][live[:hi]]
     out = out[(out < n).all(axis=1)]
-    return out.astype(np.int64).reshape(-1, 3)
+    out = out.astype(np.int64).reshape(-1, 3)
+    # Normalize every triangle to CCW orientation.  The cavity-boundary
+    # edges are packed as (min,max) above, so raw winding is arbitrary;
+    # downstream signed-area consumers (Sibson stolen-area accumulation
+    # in natural_neighbour) require a consistent orientation or cavity
+    # pieces partially cancel and weights go negative.
+    if len(out):
+        ax, ay = px_all[out[:, 0]], py_all[out[:, 0]]
+        bx, by = px_all[out[:, 1]], py_all[out[:, 1]]
+        cx_, cy_ = px_all[out[:, 2]], py_all[out[:, 2]]
+        cw = (bx - ax) * (cy_ - ay) - (cx_ - ax) * (by - ay) < 0
+        out[cw] = out[cw][:, [0, 2, 1]]
+    return out
 
 
 def _circumcircles(pts: np.ndarray, tris: np.ndarray) -> np.ndarray:

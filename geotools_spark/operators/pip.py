@@ -117,8 +117,12 @@ def pip_join(
     if how == "inner":
         return inside
     if how == "left_semi":
+        # No broadcast hint: ``hits`` is O(points inside polygons) — an
+        # unbounded side that would OOM a broadcast at real scale.  A
+        # plain left_semi shuffles on point_id; AQE converts it to a
+        # broadcast join at runtime iff the hit set is actually small.
         hits = inside.select(point_id).distinct()
-        return points.join(F.broadcast(hits), point_id, "left_semi")
+        return points.join(hits, point_id, "left_semi")
     raise ValueError(f"unsupported how={how!r}")
 
 

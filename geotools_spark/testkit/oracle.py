@@ -38,9 +38,17 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def compare(spark_df, sql: str, sf_dir: str, *, atol: float = 1e-9) -> None:
-    """Raise AssertionError on any mismatch (driver-style check, but
-    with tolerant float compare so we see the size of any drift)."""
+def compare(spark_df, sql: str, sf_dir: str, *, atol: float = 0.0) -> None:
+    """Raise AssertionError on any mismatch.
+
+    Mirrors the driver's value-hash gate, which is REPRESENTATION-exact:
+    an int64 column vs a DuckDB HUGEINT (arriving as float64) mismatches
+    even when numerically equal, and -0.0 vs +0.0 mismatches.  So by
+    default we require (a) matching dtype kind (int vs float vs object)
+    and (b) bit-exact float equality including the sign of zero.  Pass a
+    non-zero ``atol`` only for queries that are deliberately tolerant
+    (none of the driver-gated ones may be).
+    """
     got = _normalize(spark_df.toPandas())
     want = _normalize(duckdb_con(sf_dir).execute(sql).fetchdf())
     assert list(got.columns) == list(want.columns), (
@@ -49,11 +57,24 @@ def compare(spark_df, sql: str, sf_dir: str, *, atol: float = 1e-9) -> None:
     assert len(got) == len(want), f"row count differs: spark={len(got)} oracle={len(want)}"
     for col in got.columns:
         g, w = got[col].to_numpy(), want[col].to_numpy()
-        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
-            g = g.astype(float)
-            w = w.astype(float)
+        g_float = np.issubdtype(g.dtype, np.floating)
+        w_float = np.issubdtype(w.dtype, np.floating)
+        g_int = np.issubdtype(g.dtype, np.integer)
+        w_int = np.issubdtype(w.dtype, np.integer)
+        if g_float != w_float or g_int != w_int:
+            raise AssertionError(
+                f"column {col!r} dtype kind differs (driver hash would mismatch):"
+                f" spark={g.dtype} oracle={w.dtype}"
+            )
+        if g_float:
+            g = g.astype(np.float64)
+            w = w.astype(np.float64)
             both_nan = np.isnan(g) & np.isnan(w)
-            close = np.isclose(g, w, atol=atol, rtol=0) | both_nan
+            if atol > 0.0:
+                close = np.isclose(g, w, atol=atol, rtol=0) | both_nan
+            else:
+                # bit-exact: value equality AND same sign of zero
+                close = ((g == w) & (np.signbit(g) == np.signbit(w))) | both_nan
             if not close.all():
                 i = int(np.argmin(close))
                 raise AssertionError(
@@ -61,8 +82,9 @@ def compare(spark_df, sql: str, sf_dir: str, *, atol: float = 1e-9) -> None:
                     f" ({int((~close).sum())} rows differ)"
                 )
         else:
-            if not (g == w).all():
-                bad = np.argmin(g == w)
+            eq = g == w
+            if not eq.all():
+                bad = int(np.argmin(eq))
                 raise AssertionError(
                     f"column {col!r} differs at row {bad}: spark={g[bad]!r} oracle={w[bad]!r}"
                 )

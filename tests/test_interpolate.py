@@ -96,6 +96,40 @@ def test_natural_neighbour_kernel_properties():
     assert not loc_out[0] and np.isnan(vals_out[0])
 
 
+def test_natural_neighbour_mc_oracle_randomized():
+    # ADVICE r01 (high): unoriented Delaunay triangles made Sibson
+    # stolen-area pieces partially cancel (weights went negative) while
+    # the single fixed query point above stayed benign by luck.  Pin the
+    # fix with many random configs x random interior query points against
+    # the Monte-Carlo pixel-count oracle.
+    from geotools_spark.functions.geometry import natural_neighbour
+
+    g = np.linspace(0, 10, 601)
+    gx, gy = np.meshgrid(g, g)
+    p = np.column_stack([gx.ravel(), gy.ravel()])
+    for seed in range(8):
+        rs = np.random.RandomState(100 + seed)
+        n = rs.randint(8, 25)
+        xy = rs.uniform(0, 10, (n, 2))
+        z = rs.uniform(0, 5, n)
+        s = np.column_stack([xy, z])
+        # interior query: perturb the centroid of a random triangle
+        qpt = xy[rs.choice(n, 3, replace=False)].mean(axis=0, keepdims=True)
+        v, loc = natural_neighbour(s, qpt)
+        if not loc[0]:
+            continue  # degenerate pick (collinear): hull gate bailed
+        dold = ((p[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+        owner = dold.argmin(1)
+        stolen_mask = ((p - qpt[0]) ** 2).sum(-1) < dold.min(1)
+        stolen = np.bincount(owner[stolen_mask], minlength=n).astype(float)
+        if stolen.sum() == 0:
+            continue
+        v_mc = (stolen / stolen.sum()) @ z
+        assert v[0] == pytest.approx(v_mc, abs=2e-2), f"seed={seed}"
+        # convexity of Sibson weights: value inside the sample z-range
+        assert z.min() - 1e-9 <= v[0] <= z.max() + 1e-9, f"seed={seed}"
+
+
 def test_unknown_name(spark, sampleset, queryset):
     with pytest.raises(ValueError):
         interpolate("cubic", queryset, sampleset)
