@@ -1081,7 +1081,9 @@ def _q_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = derive.points_df(spark, sf_dir).filter(
         (F.col("x") < 32.0) & (F.col("y") < 32.0) & (F.col("cls") <= 2)
     )
-    out = boundary_edges(pts, res=2.0, max_edge=8.0)
+    # tile_cells=16 so even the 16x16-cell sf0.01 fixture splits into
+    # multiple Delaunay tiles (the scale path under test, VERDICT r01 #5)
+    out = boundary_edges(pts, res=2.0, max_edge=8.0, tile_cells=16)
     return out.select(
         F.round("x0", 6).alias("x0"),
         F.round("y0", 6).alias("y0"),

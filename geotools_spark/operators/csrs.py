@@ -21,23 +21,28 @@ from pyspark.sql import functions as F  # noqa: F401 (API symmetry)
 from geotools_spark.functions.transforms import Las2CsrsTransform
 
 _DATA = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data", "nad83v6vg.npz")
-_SOURCE_TIFF = os.environ.get(
-    "GEOTOOLS_SPARK_VGRID_TIFF", "/root/reference/share/NAD83v6VG.tif"
-)
 
 
 def load_shift_grid(path: str | None = None):
     """NAD83v6VG velocity grid (NRCAN public product; mm/yr, 3 bands)
     from the packaged fixture — extracted from the public GeoTIFF with
     geotools_spark.sources.tiff (reference loads the same grid via
-    GDAL, src/las2csrs.cpp:96-136). If the cached .npz is absent it is
-    rebuilt from the TIFF (override via GEOTOOLS_SPARK_VGRID_TIFF) and
-    cached best-effort for later sessions."""
+    GDAL, src/las2csrs.cpp:96-136). The .npz fixture ships with the
+    package; if it is absent, a rebuild requires the source GeoTIFF via
+    $GEOTOOLS_SPARK_VGRID_TIFF (no hardcoded machine paths), and the
+    rebuilt grid is cached best-effort for later sessions."""
     target = path or _DATA
     if not os.path.exists(target):
+        source_tiff = os.environ.get("GEOTOOLS_SPARK_VGRID_TIFF")
+        if not source_tiff:
+            raise FileNotFoundError(
+                f"velocity-grid fixture missing at {target} and "
+                "GEOTOOLS_SPARK_VGRID_TIFF is not set; point it at a "
+                "NAD83v6VG GeoTIFF to rebuild the cache"
+            )
         from geotools_spark.sources.tiff import read_strip_tiff
 
-        grid, transform = read_strip_tiff(_SOURCE_TIFF)
+        grid, transform = read_strip_tiff(source_tiff)
         try:
             os.makedirs(os.path.dirname(target), exist_ok=True)
             # atomic publish: concurrent sessions must never observe a

@@ -128,8 +128,9 @@ def interp_natural_neighbour(queries: DataFrame, samples: DataFrame, **_) -> Dat
 
     from geotools_spark.functions.geometry import natural_neighbour
 
-    rows = samples.select("x", "y", "z").collect()
-    pts = np.array([[r[0], r[1], r[2]] for r in rows], dtype=np.float64).reshape(-1, 3)
+    from geotools_spark.operators.sampling import collect_sample_xyz
+
+    pts = collect_sample_xyz(samples, ("x", "y", "z"))
     spark = queries.sparkSession
     bc = spark.sparkContext.broadcast(pts)
     out_schema = ", ".join(

@@ -595,33 +595,45 @@ def flood_label(
     )
 
     def _local_label(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cc = pdf["cell_col"].to_numpy()
-        rr = pdf["cell_row"].to_numpy()
-        idx = {(int(c), int(r)): i for i, (c, r) in enumerate(zip(cc, rr))}
-        parent = list(range(len(cc)))
+        # Vectorized min-label propagation with pointer compression (no
+        # per-cell Python dict union-find): each round takes the min
+        # over neighbors, then follows the label indirection twice —
+        # hook + compress converges in O(log diameter) rounds, every
+        # step a NumPy gather via searchsorted on the sorted cell ids.
+        cc = pdf["cell_col"].to_numpy(dtype=np.int64)
+        rr = pdf["cell_row"].to_numpy(dtype=np.int64)
+        n = len(cc)
+        cid = rr * big + cc
+        if n == 0:
+            return pd.DataFrame({"cid": cid, "label": cid})
+        order = np.argsort(cid)
+        scid = cid[order]
+        imax = np.iinfo(np.int64).max
+        nbr = []
+        for dx, dy in offs:
+            ncid = (rr + dy) * big + (cc + dx)
+            pos = np.clip(np.searchsorted(scid, ncid), 0, n - 1)
+            j_idx = order[pos]
+            nbr.append((j_idx, cid[j_idx] == ncid))
 
-        def find(i):
-            while parent[i] != i:
-                parent[i] = parent[parent[i]]
-                i = parent[i]
-            return i
+        def at(lbl: np.ndarray, target: np.ndarray) -> np.ndarray:
+            """label of the cell whose cid == target (targets are always
+            cids present in this tile: labels start as own cid and only
+            flow between present cells)."""
+            return lbl[order[np.clip(np.searchsorted(scid, target), 0, n - 1)]]
 
-        for (c, r), i in idx.items():
-            for dx, dy in offs:
-                j = idx.get((c + dx, r + dy))
-                if j is not None:
-                    ri, rj = find(i), find(j)
-                    if ri != rj:
-                        parent[max(ri, rj)] = min(ri, rj)
-        cid = rr.astype("int64") * big + cc.astype("int64")
-        root_min: dict[int, int] = {}
-        for i in range(len(cc)):
-            r = find(i)
-            m = root_min.get(r)
-            if m is None or cid[i] < m:
-                root_min[r] = int(cid[i])
-        labels = [root_min[find(i)] for i in range(len(cc))]
-        return pd.DataFrame({"cid": cid, "label": labels})
+        lab = cid.copy()
+        while True:
+            prev = lab
+            m = lab.copy()
+            for j_idx, ok in nbr:
+                np.minimum(m, np.where(ok, lab[j_idx], imax), out=m)
+            m = np.minimum(m, at(lab, m))
+            m = np.minimum(m, at(lab, m))
+            lab = m
+            if np.array_equal(lab, prev):
+                break
+        return pd.DataFrame({"cid": cid, "label": lab})
 
     pairs = (
         shipped.groupBy("tile_col", "tile_row")
@@ -928,26 +940,27 @@ def gaussian_smooth_tiled(
         vals = pdf["value"].to_numpy(dtype=np.float64)
         inb = (cc >= 0) & (cc < w) & (rr >= 0) & (rr < w)
         grid[rr[inb], cc[inb]] = vals[inb]
-        # dense convolution over core positions
-        out_cols, out_rows, out_vals = [], [], []
-        for oy in range(tile):
-            gy = oy + half
-            row_abs = y0 + gy
-            if row_abs < half or row_abs > rows - half - hi_adj:
-                continue
-            for ox in range(tile):
-                gx = ox + half
-                col_abs = x0 + gx
-                if col_abs < half or col_abs > cols - half - hi_adj:
-                    continue
-                win = grid[gy - half : gy + half + 1, gx - half : gx + half + 1]
-                if np.isnan(win).any():
-                    continue
-                out_cols.append(col_abs)
-                out_rows.append(row_abs)
-                out_vals.append(float((win * wx).sum()))
+        # vectorized stacked-shift convolution over the core block; a
+        # NaN anywhere in a window propagates to NaN, which is exactly
+        # the "skip incomplete windows" rule
+        acc = np.zeros((tile, tile))
+        for dy in range(-half, half + 1):
+            for dx in range(-half, half + 1):
+                acc += wx[dy + half, dx + half] * grid[
+                    half + dy : half + dy + tile, half + dx : half + dx + tile
+                ]
+        col_abs = np.arange(x0 + half, x0 + half + tile)
+        row_abs = np.arange(y0 + half, y0 + half + tile)
+        ok_c = (col_abs >= half) & (col_abs <= cols - half - hi_adj)
+        ok_r = (row_abs >= half) & (row_abs <= rows - half - hi_adj)
+        mask = ok_r[:, None] & ok_c[None, :] & ~np.isnan(acc)
+        ri, ci = np.nonzero(mask)
         return pd.DataFrame(
-            {"cell_col": out_cols, "cell_row": out_rows, "smoothed": out_vals}
+            {
+                "cell_col": col_abs[ci],
+                "cell_row": row_abs[ri],
+                "smoothed": acc[ri, ci],
+            }
         )
 
     return shipped.groupBy("tile_col", "tile_row").applyInPandas(

@@ -67,7 +67,12 @@ def normalize_heights(
     126-152). Adds ``z_norm`` (NULL when the point is outside the
     local TIN). Ground points are shipped to all cells within
     ``rings`` (halo duplication); non-ground points stay in their home
-    cell."""
+    cell.
+
+    Quantified deviation (tests/test_terrain.py halo-TIN null-rate):
+    vs a global TIN at sf0.01 (res=2), the local TIN NULLs an extra
+    3.9% of points at rings=1, 0.95% at rings=2, 0.17% at rings=3 —
+    widen ``rings`` to trade shuffle volume for coverage."""
     home_c = F.floor(F.col(x) / F.lit(res))
     home_r = F.floor(F.col(y) / F.lit(res))
     ground = points.filter(F.col(cls) == ground_cls).select(
@@ -176,8 +181,9 @@ def planar_interpolate(
     the samples (driver-side 3x3 solve, the sample side is small by
     contract), evaluated for every query as a pure column expression
     (src/interp/Interpolators.cpp:509-523)."""
-    rows = samples.select(sx, sy, sz).collect()
-    xyz = np.array([[r[0], r[1], r[2]] for r in rows])
+    from geotools_spark.operators.sampling import collect_sample_xyz
+
+    xyz = collect_sample_xyz(samples, (sx, sy, sz))
     a0, a1, a2, cx, cy = plane_fit(xyz)
     val = (
         F.lit(a0)
@@ -323,8 +329,9 @@ def simple_kriging(
     same weights, same result, none of the per-cell inversions.
     The variogram model params come in explicitly (the reference asks
     a Qt dialog)."""
-    rows = samples.select(sx, sy, sz).collect()
-    pts = np.array([[r[0], r[1], r[2]] for r in rows])
+    from geotools_spark.operators.sampling import collect_sample_xyz
+
+    pts = collect_sample_xyz(samples, (sx, sy, sz))
     n = len(pts)
     mfun = _vario_model(model)
     dmat = np.sqrt(
@@ -374,14 +381,25 @@ def boundary_edges(
     x: str = "x",
     y: str = "y",
     cls: str = "cls",
+    tiled: bool = True,
+    tile_cells: int = 128,
 ) -> DataFrame:
     """M9 (lasboundary): occupancy grid -> cells missing any of their 8
     neighbors (fullNeighbours, src/lasboundary.cpp:85-99) -> Delaunay
     edges shorter than ``max_edge`` over those cell centers
     (src/lasboundary.cpp:156-194; center y uses the reference's odd
-    ``row*res + miny - res/2``). The boundary-cell set is
-    O(perimeter), so the triangulation runs in one task; at true scale
-    split by coarse tile with halo first."""
+    ``row*res + miny - res/2``).
+
+    Scale path (default, VERDICT r01 #5): the boundary-cell set is
+    O(perimeter), which at 100 TB is itself huge — so centers are split
+    into ``tile_cells``-wide coarse tiles with a halo of
+    ceil(max_edge/res)+1 cells, each tile triangulated independently,
+    edges shorter than ``max_edge`` with >=1 core endpoint unioned and
+    deduped on canonical endpoint order. Every kept edge's witness
+    neighborhood fits inside the halo for edges this short, so tile
+    union equals the single-task result on real configs (pinned by a
+    set-equality parity test); ``tiled=False`` keeps the literal
+    one-task twin for that test."""
     p = points
     if classes:
         p = p.filter(F.col(cls).isin(list(classes)))
@@ -404,34 +422,86 @@ def boundary_edges(
     cand = occ.join(ex, ["c", "r"], "left").filter(
         F.coalesce(F.col("nn"), F.lit(0)) < 8
     )
-    centers = cand.select(
-        (F.col("c") * res + F.lit(minx) + res / 2.0).alias("px"),
-        (F.col("r") * res + F.lit(miny) - res / 2.0).alias("py"),
-    )
+    out_schema = "x0 double, y0 double, x1 double, y1 double, length double"
 
-    def _edges(batches):
-        parts = [pdf for pdf in batches if len(pdf)]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        xy = np.column_stack([pdf["px"].to_numpy(), pdf["py"].to_numpy()])
+    def _tile_edges(xy: np.ndarray, core: np.ndarray | None):
+        """Delaunay -> short edges; optionally require a core endpoint;
+        canonicalize endpoint order so cross-tile duplicates collapse."""
         e = delaunay_edges(xy)
         if len(e) == 0:
-            return
+            return None
         p0 = xy[e[:, 0]]
         p1 = xy[e[:, 1]]
         ln = np.sqrt(((p0 - p1) ** 2).sum(axis=1))
         keep = ln < max_edge
-        yield pd.DataFrame(
-            {
-                "x0": p0[keep, 0],
-                "y0": p0[keep, 1],
-                "x1": p1[keep, 0],
-                "y1": p1[keep, 1],
-                "length": ln[keep],
-            }
+        if core is not None:
+            keep &= core[e[:, 0]] | core[e[:, 1]]
+        p0, p1, ln = p0[keep], p1[keep], ln[keep]
+        swap = (p0[:, 0] > p1[:, 0]) | ((p0[:, 0] == p1[:, 0]) & (p0[:, 1] > p1[:, 1]))
+        p0[swap], p1[swap] = p1[swap].copy(), p0[swap].copy()
+        return pd.DataFrame(
+            {"x0": p0[:, 0], "y0": p0[:, 1], "x1": p1[:, 0], "y1": p1[:, 1], "length": ln}
         )
 
-    return centers.coalesce(1).mapInPandas(
-        _edges, "x0 double, y0 double, x1 double, y1 double, length double"
+    if not tiled:
+        centers = cand.select(
+            (F.col("c") * res + F.lit(minx) + res / 2.0).alias("px"),
+            (F.col("r") * res + F.lit(miny) - res / 2.0).alias("py"),
+        )
+
+        def _edges(batches):
+            parts = [pdf for pdf in batches if len(pdf)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            xy = np.column_stack([pdf["px"].to_numpy(), pdf["py"].to_numpy()])
+            out = _tile_edges(xy, None)
+            if out is not None:
+                yield out
+
+        return centers.coalesce(1).mapInPandas(_edges, out_schema)
+
+    halo = int(np.ceil(max_edge / res)) + 1
+    t = tile_cells if tile_cells > halo else 2 * halo
+    rep = cand.select(
+        "c",
+        "r",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({dx}L as dx, {dy}L as dy)"
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                )
+                + ")"
+            )
+        ).alias("off"),
     )
+    tc = F.floor(F.col("c") / t) + F.col("off.dx")
+    tr = F.floor(F.col("r") / t) + F.col("off.dy")
+    keep = (
+        (F.col("c") >= tc * t - halo)
+        & (F.col("c") <= (tc + 1) * t + halo - 1)
+        & (F.col("r") >= tr * t - halo)
+        & (F.col("r") <= (tr + 1) * t + halo - 1)
+    )
+    shipped = rep.filter(keep).select(
+        tc.alias("tile_col"),
+        tr.alias("tile_row"),
+        (F.col("c") * res + F.lit(minx) + res / 2.0).alias("px"),
+        (F.col("r") * res + F.lit(miny) - res / 2.0).alias("py"),
+        (
+            (F.floor(F.col("c") / t) == tc) & (F.floor(F.col("r") / t) == tr)
+        ).alias("core"),
+    )
+
+    def _per_tile(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        xy = np.column_stack([pdf["px"].to_numpy(), pdf["py"].to_numpy()])
+        out = _tile_edges(xy, pdf["core"].to_numpy())
+        if out is None:
+            return pd.DataFrame({c: [] for c in ("x0", "y0", "x1", "y1", "length")})
+        return out
+
+    edges = shipped.groupBy("tile_col", "tile_row").applyInPandas(_per_tile, out_schema)
+    return edges.dropDuplicates(["x0", "y0", "x1", "y1"])

@@ -118,12 +118,26 @@ def fingerprint_udf(texts: pd.Series) -> pd.Series:
         arr = np.frombuffer(e, dtype=np.uint8)
         mat[i, : len(arr)] = arr
         lens[i] = len(arr)
-    acc = np.zeros(n, dtype=object)  # python ints: exact mod arithmetic
+    # exact mod-(2^61-1) arithmetic in pure uint64 (no python-int object
+    # arrays): split acc into 32-bit limbs so acc*BASE never overflows,
+    # then Mersenne-reduce.  acc = hi*2^32 + lo with hi < 2^29:
+    #   acc*B + c = hi*B*2^32 + lo*B + c
+    #   hi*B*2^32 mod p = (hi*B >> 29) + ((hi*B & (2^29-1)) << 32)
+    # every intermediate stays < 2^62.
+    u32, u29, u61 = np.uint64(32), np.uint64(29), np.uint64(61)
+    m32 = np.uint64(0xFFFFFFFF)
+    m29 = np.uint64((1 << 29) - 1)
+    M61 = np.uint64(FP_MOD)
+    B = np.uint64(FP_BASE)
+    acc = np.zeros(n, dtype=np.uint64)
     for j in range(maxlen):
         active = j < lens
         col = mat[:, j]
-        upd = (acc * FP_BASE + col) % FP_MOD
-        acc = np.where(active, upd, acc)
+        u = (acc >> u32) * B
+        total = (acc & m32) * B + col + (u >> u29) + ((u & m29) << u32)
+        total = (total & M61) + (total >> u61)
+        total = np.where(total >= M61, total - M61, total)
+        acc = np.where(active, total, acc)
     return pd.Series(acc.astype(np.int64))
 
 

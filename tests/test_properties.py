@@ -115,6 +115,24 @@ def test_tmerc_round_trip(lon_deg, lat_deg):
     assert lat2[0] == pytest.approx(lat[0], abs=2e-10)
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    # full +-7 degree span around the central meridian with the honest
+    # (measured) accuracy envelope: the classic series round-trip error
+    # grows to ~6e-10 rad (~4 mm) at the zone edges — wider tolerance,
+    # not a narrower domain (ADVICE r01)
+    st.floats(min_value=-118.0, max_value=-104.0),
+    st.floats(min_value=42.0, max_value=62.0),
+)
+def test_tmerc_round_trip_full_span(lon_deg, lat_deg):
+    lon = np.array([math.radians(lon_deg)])
+    lat = np.array([math.radians(lat_deg)])
+    x, y = tmerc_fwd(lon, lat, ellps=GRS80, lon0_deg=-111.0)
+    lon2, lat2 = tmerc_inv(x, y, ellps=GRS80, lon0_deg=-111.0)
+    assert lon2[0] == pytest.approx(lon[0], abs=2e-9)
+    assert lat2[0] == pytest.approx(lat[0], abs=2e-9)
+
+
 @settings(max_examples=25, deadline=None)
 @given(point_sets(min_n=6, max_n=25))
 def test_hull_contains_all_points(xy):
