@@ -127,3 +127,46 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
         per_user.setdefault(r.user_id, []).append(r.n_events)
     assert sorted(per_user[1]) == [1, 2]  # two sessions: 2 events + 1 event
     assert per_user[2] == [1]
+
+
+def test_flagship_grid_stream_matches_batch(spark, tmp_path):
+    """The headline pipeline runs unchanged as Structured Streaming:
+    stream the interleaved docs table file-by-file (2 micro-batches),
+    span-explode + decode + cell-key + grid-aggregate, and the complete
+    output equals the batch run bit-for-bit (stateless narrow ops plus
+    streaming-safe aggregates — no plan rewrite needed)."""
+    from geotools_spark.flagship import flagship_from_docs
+    from geotools_spark.sources.datagen import synthetic_documents
+
+    path = str(tmp_path / "docs")
+    synthetic_documents(spark, 20_000, partitions=2).write.parquet(path)
+    batch = spark.read.parquet(path)
+    batch_grid, _ = flagship_from_docs(batch)
+    want = {
+        (r.zkey, r.cell_col, r.cell_row): (r["count"], r["min"], r["max"], r["mean"])
+        for r in batch_grid.collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    sgrid, _tiles = flagship_from_docs(stream)
+    q = (
+        sgrid.writeStream.format("memory")
+        .queryName("flagship_grid_st")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.zkey, r.cell_col, r.cell_row): (r["count"], r["min"], r["max"], r["mean"])
+        for r in spark.sql("select * from flagship_grid_st").collect()
+    }
+    assert set(got) == set(want)
+    for k, (cn, mn, mx, me) in want.items():
+        gcn, gmn, gmx, gme = got[k]
+        assert gcn == cn and gmn == mn and gmx == mx, k
+        assert abs(gme - me) < 1e-9, k
