@@ -799,7 +799,13 @@ def normalize(
     """A16b: z-score normalize. parity=True reproduces the reference's
     two quirks (src/raster.cpp:92-113): mean = sum/TOTAL cells (nodata
     included in the denominator) and sigma = sqrt(sum((v-mean)^2))
-    with no /n. parity=False is the textbook z-score over valid cells."""
+    with no /n. parity=False is the textbook z-score over valid cells.
+
+    The input is materialized once (localCheckpoint): the stats need
+    two sequential driver round-trips (sigma depends on mu) plus the
+    final projection — without pinning, a derived raster pipeline would
+    be recomputed three times."""
+    raster = raster.localCheckpoint(eager=True)
     v = F.col(value)
     if parity:
         stats = raster.agg(
