@@ -692,12 +692,15 @@ def rastfit(
     """
     from geotools_spark.operators.interpolate import interpolate
 
+    # pin both rasters once: the sample collect, the query-id pinning
+    # and the final join each trigger a job, and a derived raster
+    # pipeline would be recomputed for every one of them
     b = base.filter(F.col(value).isNotNull()).select(
         "cell_col", "cell_row", F.col(value).alias("_b")
-    )
+    ).localCheckpoint(eager=True)
     a = adj.filter(F.col(value).isNotNull()).select(
         "cell_col", "cell_row", F.col(value).alias("_a")
-    )
+    ).localCheckpoint(eager=True)
     overlap = a.join(b, ["cell_col", "cell_row"]).select(
         "cell_col",
         "cell_row",
