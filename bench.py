@@ -179,18 +179,30 @@ def scaling_main() -> None:
         materialize_docs_snapshot(build, n_docs, snap_path)
         build.stop()
 
+    # weak scaling (SPARK_GRAFT_SCALING_WEAK=1): docs proportional to
+    # executors — constant work per executor, constant-time ideal,
+    # efficiency = t_lo / t_hi
+    weak = os.environ.get("SPARK_GRAFT_SCALING_WEAK") == "1"
+    if weak and regime == "scan":
+        raise SystemExit(
+            "weak scaling is defined for the gen regime here — the scan "
+            "snapshot is built once at a single size"
+        )
+    ratio = execs_hi // execs_lo
+    n_docs_hi = n_docs * ratio if weak else n_docs
+
     t_lo_all: list[float] = []
     t_hi_all: list[float] = []
     for _ in range(rounds):
         t_lo_all += _run_flagship_cluster(execs_lo, cores_each, snap_path, n_docs, trials)
-        t_hi_all += _run_flagship_cluster(execs_hi, cores_each, snap_path, n_docs, trials)
+        t_hi_all += _run_flagship_cluster(execs_hi, cores_each, snap_path, n_docs_hi, trials)
     if snap_dir is not None:
         shutil.rmtree(snap_dir, ignore_errors=True)
     t_lo = min(t_lo_all)
     t_hi = min(t_hi_all)
     thr_lo = n_docs / t_lo
-    thr_hi = n_docs / t_hi
-    eff = (thr_hi / thr_lo) / (execs_hi / execs_lo)
+    thr_hi = n_docs_hi / t_hi
+    eff = t_lo / t_hi if weak else (thr_hi / thr_lo) / (execs_hi / execs_lo)
     print(
         json.dumps(
             {
@@ -198,7 +210,9 @@ def scaling_main() -> None:
                 "value": round(eff, 4),
                 "unit": "ratio",
                 "regime": regime,
+                "weak": weak,
                 "docs": n_docs,
+                "docs_hi": n_docs_hi,
                 "executors_lo": execs_lo,
                 "executors_hi": execs_hi,
                 "cores_per_executor": cores_each,

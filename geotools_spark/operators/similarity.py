@@ -97,6 +97,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a KMeans coarse quantizer (pyspark.ml)
     partitions vectors into nlist cells; queries scan only the nprobe
@@ -104,6 +105,11 @@ def ivf_ann_topk(
     (both distributed); at serving time the candidate scan is
     ``filter(cell IN probes)`` — partition-prunable when the table is
     written bucketed by cell id. Exact cosine runs on candidates only.
+
+    ``max_iter`` defaults low: a coarse quantizer needs balanced
+    partitions, not converged centroids — recall is governed by nprobe
+    (pinned by the recall-vs-brute tests), and each extra Lloyd
+    iteration is a full pass over the corpus at build time.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -113,7 +119,10 @@ def ivf_ann_topk(
         F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
     )
-    km = KMeans(k=nlist, seed=seed, featuresCol="_feat", predictionCol="_cell")
+    km = KMeans(
+        k=nlist, seed=seed, maxIter=int(max_iter),
+        featuresCol="_feat", predictionCol="_cell",
+    )
     model = km.fit(va)
     assigned = model.transform(va).drop("_feat")
     import numpy as np
