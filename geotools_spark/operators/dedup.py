@@ -228,10 +228,13 @@ def simhash(
     """64-bit SimHash per doc: explode tokens -> xxhash64 -> per-bit
     signed sums -> sign pack. One groupBy, 64 algebraic aggregates —
     scales as a plain map-side-combinable aggregation."""
+    # hash materialized as a column: 64 aggregate update expressions
+    # reference it, and relying on codegen subexpression elimination
+    # across aggregates is fragile (see the shingle-split lesson)
     toks = _spread(docs).select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
-    )
-    h = F.xxhash64("tok")
+    ).select(F.col(id_col), F.xxhash64("tok").alias("_h"))
+    h = F.col("_h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
