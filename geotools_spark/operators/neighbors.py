@@ -84,6 +84,7 @@ def knn_join(
     qy: str = "qy",
     sx: str = "x",
     sy: str = "y",
+    ranked: bool = True,
 ) -> DataFrame:
     """J8: k nearest samples per query point.
 
@@ -96,6 +97,12 @@ def knn_join(
     distance to any cell outside the window). Callers size (res, rings)
     from expected sample density; ``knn_kth_dist_bound_ok`` verifies
     the guarantee on real output.
+
+    ``ranked=False`` is for the all-candidates-in-window idiom (huge k
+    feeding an exact distance filter): it skips the per-query window
+    sort entirely — a whole shuffle+sort saved — and emits no
+    ``knn_rank`` column. Only for callers that neither read the rank
+    nor depend on per-query candidate order.
     """
     q = queries.withColumn("qcell_col", F.floor(F.col(qx) / F.lit(res))).withColumn(
         "qcell_row", F.floor(F.col(qy) / F.lit(res))
@@ -127,11 +134,16 @@ def knn_join(
     # plain multiplication (not pow) so the DuckDB oracle's dist*dist
     # arithmetic is bit-identical
     joined = joined.withColumn("dist", F.sqrt(ddx * ddx + ddy * ddy))
+    drop_cols = (
+        "qcell_col", "qcell_row", "scell_col", "scell_row", "jcell_col", "jcell_row"
+    )
+    if not ranked:
+        return joined.drop(*drop_cols)
     w = Window.partitionBy(query_id).orderBy(F.col("dist"), F.col(sample_id))
     return (
         joined.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
-        .drop("qcell_col", "qcell_row", "scell_col", "scell_row", "jcell_col", "jcell_row")
+        .drop(*drop_cols)
     )
 
 

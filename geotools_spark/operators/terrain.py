@@ -223,9 +223,13 @@ def validate_stations(
     rings = max(1, int(math.ceil(r / use_res)))
     if classes is not None:
         returns = returns.filter(F.col(cls).isin(list(classes)))
+    # ranked=False: every in-window candidate is kept (the exact radius
+    # filter below does the bounding), so the per-station window sort
+    # would be a wasted shuffle; the per-station TIN is order-agnostic
+    # (delaunay() re-sorts by x internally)
     cand = knn_join(
         stations, returns.select("sid", "x", "y", "z"), k=1 << 30,
-        res=use_res, rings=rings,
+        res=use_res, rings=rings, ranked=False,
     ).filter(F.col("dist") <= r)
 
     def _station(key, pdf: pd.DataFrame) -> pd.DataFrame:
