@@ -273,6 +273,42 @@ def test_boundary_edges_tiled_matches_single_task(spark):
     assert shipped_tiles == len(single)
 
 
+def test_locate_in_tris_bucketed_equals_dense():
+    # the bucketed point-location fast path must reproduce the dense
+    # (nq x ntri) sign test exactly, including the lowest-tri-index
+    # tie-break for on-edge queries and unlocated exterior queries
+    from geotools_spark.functions.geometry import _locate_in_tris, delaunay
+
+    for seed in range(4):
+        rs = np.random.RandomState(40 + seed)
+        verts = rs.uniform(0, 6, (rs.randint(200, 900), 2))
+        tris = G.delaunay(verts)
+        if len(tris) == 0:
+            continue
+        q = rs.uniform(-0.5, 6.5, (rs.randint(1500, 3000), 2))
+        # include exact vertices and edge midpoints (tie-break stress)
+        q = np.vstack([q, verts[:20], (verts[tris[:10, 0]] + verts[tris[:10, 1]]) / 2])
+        hit_fast, ok_fast = _locate_in_tris(verts, tris, q)
+
+        qx = q[:, 0][:, None]
+        qy = q[:, 1][:, None]
+        t1, t2, t3 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+
+        def sign(pa, pb):
+            return (qx - pb[None, :, 0]) * (pa[None, :, 1] - pb[None, :, 1]) - (
+                pa[None, :, 0] - pb[None, :, 0]
+            ) * (qy - pb[None, :, 1])
+
+        d1, d2, d3 = sign(t1, t2), sign(t2, t3), sign(t3, t1)
+        inside = ~(
+            ((d1 < 0) | (d2 < 0) | (d3 < 0)) & ((d1 > 0) | (d2 > 0) | (d3 > 0))
+        )
+        ok_ref = inside.any(axis=1)
+        hit_ref = inside.argmax(axis=1)
+        assert (ok_fast == ok_ref).all(), seed
+        assert (hit_fast[ok_ref] == hit_ref[ok_ref]).all(), seed
+
+
 def test_kahan_area_matches_shoelace():
     from geotools_spark.functions.geometry import kahan_area_2d
 
