@@ -44,15 +44,19 @@ def _collect_rings(polygons: DataFrame) -> dict[int, np.ndarray]:
 
 def _covering_cells(rings: dict[int, np.ndarray], res: float):
     """bbox-covering cells per polygon (over-approximation; exact test
-    follows). This is the engine's replacement for the R-tree: a
-    broadcastable equi-join key."""
+    follows), each carrying the polygon's exact bbox so a codegen-side
+    range filter can reject candidates BEFORE the Arrow hop into the
+    ray-cast UDF. This is the engine's replacement for the R-tree: a
+    broadcastable equi-join key plus the R-tree's bbox test."""
     out = []
     for pid, ring in rings.items():
         minx, miny = ring.min(axis=0)
         maxx, maxy = ring.max(axis=0)
         for cc in range(math.floor(minx / res), math.floor(maxx / res) + 1):
             for cr in range(math.floor(miny / res), math.floor(maxy / res) + 1):
-                out.append((cc, cr, pid))
+                out.append(
+                    (cc, cr, pid, float(minx), float(miny), float(maxx), float(maxy))
+                )
     return out
 
 
@@ -90,7 +94,9 @@ def pip_join(
     spark = points.sparkSession
     rings = _collect_rings(polygons)
     cand = spark.createDataFrame(
-        _covering_cells(rings, res), "pcell_col long, pcell_row long, poly_id int"
+        _covering_cells(rings, res),
+        "pcell_col long, pcell_row long, poly_id int, "
+        "_bxmin double, _bymin double, _bxmax double, _bymax double",
     )
     bc_rings = spark.sparkContext.broadcast({k: v for k, v in rings.items()})
 
@@ -111,8 +117,18 @@ def pip_join(
     candidates = pts.join(
         F.broadcast(cand), ["pcell_col", "pcell_row"], "inner"
     )
+    # exact-bbox rejection in whole-stage codegen: a point outside the
+    # polygon's closed bbox can never be inside it, so this prunes the
+    # Arrow batch volume into the ray-cast UDF (the coarse cell grid
+    # over-approximates by up to res on every side)
+    candidates = candidates.filter(
+        (F.col(x) >= F.col("_bxmin"))
+        & (F.col(x) <= F.col("_bxmax"))
+        & (F.col(y) >= F.col("_bymin"))
+        & (F.col(y) <= F.col("_bymax"))
+    )
     inside = candidates.filter(inside_udf(F.col(x), F.col(y), F.col("poly_id"))).drop(
-        "pcell_col", "pcell_row"
+        "pcell_col", "pcell_row", "_bxmin", "_bymin", "_bxmax", "_bymax"
     )
     if how == "inner":
         return inside
