@@ -133,12 +133,12 @@ def pip_join(
     if how == "inner":
         return inside
     if how == "left_semi":
-        # No broadcast hint: ``hits`` is O(points inside polygons) — an
-        # unbounded side that would OOM a broadcast at real scale.  A
-        # plain left_semi shuffles on point_id; AQE converts it to a
-        # broadcast join at runtime iff the hit set is actually small.
-        hits = inside.select(point_id).distinct()
-        return points.join(hits, point_id, "left_semi")
+        # Clip = each contained point once, original columns.  The
+        # ``inside`` rows already carry the point's original columns
+        # unmodified, so deduplicating on the point id IS the semi-join
+        # — one hash shuffle, no join, and nothing unbounded to
+        # broadcast (the r01 version broadcast the O(hits) id set).
+        return inside.select(*points.columns).dropDuplicates([point_id])
     raise ValueError(f"unsupported how={how!r}")
 
 
