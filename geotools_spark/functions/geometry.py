@@ -317,24 +317,34 @@ def _locate_in_tris(
         h, has = dense(q, np.arange(ntri))
         return h, has
 
-    # bucket triangles by bbox over a K x K grid of the vertex extent
+    # bucket triangles by bbox over a K x K grid of the vertex extent.
+    # Long skinny triangles replicate into every bucket their bbox
+    # overlaps (up to K^2 each) — a degenerate triangulation could
+    # quadratically inflate the candidate table, so shrink K until the
+    # replication total is bounded (at K=4 it is <= 16*ntri by
+    # construction, so the loop always terminates within budget).
     K = int(np.clip(np.sqrt(ntri), 4, 64))
     xmin, ymin = verts[:, 0].min(), verts[:, 1].min()
     xmax, ymax = verts[:, 0].max(), verts[:, 1].max()
-    bw = max((xmax - xmin) / K, 1e-12)
-    bh = max((ymax - ymin) / K, 1e-12)
     txmin = np.minimum(np.minimum(t1[:, 0], t2[:, 0]), t3[:, 0])
     txmax = np.maximum(np.maximum(t1[:, 0], t2[:, 0]), t3[:, 0])
     tymin = np.minimum(np.minimum(t1[:, 1], t2[:, 1]), t3[:, 1])
     tymax = np.maximum(np.maximum(t1[:, 1], t2[:, 1]), t3[:, 1])
-    bx0 = np.clip(((txmin - xmin) / bw).astype(np.int64), 0, K - 1)
-    bx1 = np.clip(((txmax - xmin) / bw).astype(np.int64), 0, K - 1)
-    by0 = np.clip(((tymin - ymin) / bh).astype(np.int64), 0, K - 1)
-    by1 = np.clip(((tymax - ymin) / bh).astype(np.int64), 0, K - 1)
-    wx = bx1 - bx0 + 1
-    wy = by1 - by0 + 1
-    counts = wx * wy
-    total = int(counts.sum())
+    rep_budget = max(2_000_000, 8 * ntri)
+    while True:
+        bw = max((xmax - xmin) / K, 1e-12)
+        bh = max((ymax - ymin) / K, 1e-12)
+        bx0 = np.clip(((txmin - xmin) / bw).astype(np.int64), 0, K - 1)
+        bx1 = np.clip(((txmax - xmin) / bw).astype(np.int64), 0, K - 1)
+        by0 = np.clip(((tymin - ymin) / bh).astype(np.int64), 0, K - 1)
+        by1 = np.clip(((tymax - ymin) / bh).astype(np.int64), 0, K - 1)
+        wx = bx1 - bx0 + 1
+        wy = by1 - by0 + 1
+        counts = wx * wy
+        total = int(counts.sum())
+        if total <= rep_budget or K <= 4:
+            break
+        K = max(4, K // 2)
     tri_rep = np.repeat(np.arange(ntri, dtype=np.int64), counts)
     starts = np.cumsum(counts) - counts
     pos_in = np.arange(total, dtype=np.int64) - starts[tri_rep]

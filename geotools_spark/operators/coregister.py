@@ -29,7 +29,13 @@ def coregister_shifts(diff_stats: DataFrame, *, root: str) -> dict[str, float]:
     order and mean = mean(value(rid0) - value(rid1)) over the overlap.
     Returns {raster_id: z_shift}; the root shifts 0; greedy-unreachable
     nodes are absent (reference: chain is None -> skipped)."""
-    rows = diff_stats.select("rid0", "rid1", "count", "mean").collect()
+    from .sampling import collect_capped
+
+    # aggregated pair table is O(#rasters^2) by contract; capped so a
+    # mis-wired un-aggregated input raises instead of flooding the driver
+    rows = collect_capped(
+        diff_stats, ("rid0", "rid1", "count", "mean"), what="raster pair-stats side"
+    )
     outgoing: dict[str, list[tuple[int, str, float]]] = {}
     nodes = set()
     for r in rows:

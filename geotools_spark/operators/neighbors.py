@@ -111,8 +111,12 @@ def knn_join(
     # parquet row groups), but the join FANS OUT ~rings^2 matches per
     # sample and the per-partition WindowGroupLimit sorts that output in
     # the same stage — so spread the cheap input BEFORE the fan-out or
-    # three tasks end up sorting the whole candidate set.
-    par = samples.sparkSession.sparkContext.defaultParallelism * 2
+    # three tasks end up sorting the whole candidate set.  Partition
+    # count is sized from Catalyst's byte estimate times the fan-out
+    # multiplier (a fixed parallelism*2 under-partitions at 100x).
+    from .partitioning import fanout_partitions
+
+    par = fanout_partitions(samples, multiplier=float((2 * rings + 1) ** 2))
     s = samples.repartition(par).withColumn(
         "scell_col", F.floor(F.col(sx) / F.lit(res))
     ).withColumn("scell_row", F.floor(F.col(sy) / F.lit(res)))

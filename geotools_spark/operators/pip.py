@@ -33,9 +33,15 @@ from pyspark.sql.types import BooleanType
 
 
 def _collect_rings(polygons: DataFrame) -> dict[int, np.ndarray]:
-    """Driver-side collect of the (small) polygon table -> ring arrays."""
+    """Driver-side collect of the (small-by-contract) polygon table ->
+    ring arrays, capped so a mis-sized polygon side raises instead of
+    flooding the driver (same guard as sampling.collect_sample_xyz)."""
+    from .sampling import collect_capped
+
     rings: dict[int, np.ndarray] = {}
-    for row in polygons.select("poly_id", "ring").collect():
+    for row in collect_capped(
+        polygons, ("poly_id", "ring"), what="polygon side"
+    ):
         rings[int(row.poly_id)] = np.array(
             [(p.x, p.y) for p in row.ring], dtype=np.float64
         )
@@ -90,7 +96,17 @@ def pip_join(
     ``res`` is the candidate-bucket resolution — coarse enough that the
     broadcast (cell, poly_id) table stays tiny, fine enough to prune
     most of the world before the exact test.
+
+    CONTRACT (left_semi): ``point_id`` must uniquely identify input
+    rows — the clip dedups on it, so duplicate-id rows collapse to one
+    arbitrary representative (the reference's lasclip reads each point
+    once, src/lasclip.cpp:160-183, so ids are unique there too).  The
+    point table must not carry columns named ``poly_id`` or
+    ``pcell_col``/``pcell_row`` (join-internal names).
     """
+    reserved = {"poly_id", "pcell_col", "pcell_row"} & set(points.columns)
+    if reserved:
+        raise ValueError(f"points carries pip-internal column names: {sorted(reserved)}")
     spark = points.sparkSession
     rings = _collect_rings(polygons)
     cand = spark.createDataFrame(

@@ -20,6 +20,23 @@ from pyspark.sql import DataFrame
 MAX_SAMPLE_ROWS = int(os.environ.get("GEOTOOLS_SPARK_MAX_SAMPLE_ROWS", "2000000"))
 
 
+def collect_capped(
+    df: DataFrame, cols, *, max_rows: int | None = None, what: str = "side"
+) -> list:
+    """Collect ``df[cols]`` to the driver, raising if it exceeds the
+    cap BEFORE materializing it all (``limit(cap+1)`` probe — bounded
+    driver memory, one job)."""
+    cap = MAX_SAMPLE_ROWS if max_rows is None else int(max_rows)
+    rows = df.select(*cols).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what} exceeds the driver-collect cap ({cap} rows): this "
+            "operator materializes it on the driver by contract; reduce "
+            "the side or raise GEOTOOLS_SPARK_MAX_SAMPLE_ROWS explicitly"
+        )
+    return rows
+
+
 def collect_sample_xyz(
     samples: DataFrame, cols: tuple[str, str, str], *, max_rows: int | None = None
 ) -> np.ndarray:

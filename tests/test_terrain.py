@@ -264,7 +264,16 @@ def test_boundary_edges_tiled_matches_single_task(spark):
         boundary_edges(df, res=1.0, max_edge=4.0, tiled=True, tile_cells=10)
     )
     assert tiled == single
-    # and the tiled plan actually splits into multiple Delaunay groups
+    # the parity is only meaningful if the fixture actually spans
+    # multiple Delaunay tile groups: recompute the tile key exactly as
+    # boundary_edges does (res=1, tile_cells=10 > halo=5 -> t=10,
+    # cells relative to the data min) and require several tiles
+    minx, miny = pts.min(axis=0)
+    tiles = {
+        (int((x - minx) // 1.0) // 10, int((y - miny) // 1.0) // 10)
+        for x, y in pts
+    }
+    assert len(tiles) >= 4, f"fixture collapsed to {len(tiles)} tile(s)"
     shipped_tiles = (
         boundary_edges(df, res=1.0, max_edge=4.0, tiled=True, tile_cells=10)
         .select("x0")
