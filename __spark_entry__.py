@@ -1144,32 +1144,44 @@ def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: binary payload decode (deterministic fake kernel,
-    real Arrow plumbing) -> per-image channel stats; rows-only check
-    (determinism + shapes pinned by tests/test_media.py)."""
+    """Multimodal: REAL image decode (PNG via zlib inflate + unfilter,
+    strip TIFF via the pure-NumPy IFD reader — format hash-chosen per
+    ref) -> per-image channel stats from the actual pixels. The oracle
+    replays the closed-form gradient content; Spark earns the same
+    numbers by parsing the encoded bytes."""
     from geotools_spark.operators.media import decode_image_stats
 
     out = decode_image_stats(_media_table(spark, sf_dir))
     return out.select(
         "media_ref",
         F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
         F.round("brightness", 6).alias("brightness"),
     )
 
 
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: video frame sampling (pure explode) + embedding
-    fold; rows-only check."""
-    from geotools_spark.operators.media import frame_sample, media_embedding
+    """Multimodal: video frame sampling (pure explode on metadata),
+    REAL container parse (GTV frame count from the payload bytes), and
+    the decode-derived embedding fold (every PNG frame inflated)."""
+    from geotools_spark.operators.media import (
+        frame_sample,
+        media_embedding,
+        video_payload_frames,
+    )
 
     media = _media_table(spark, sf_dir)
     frames = frame_sample(media, every_ms=500).groupBy("media_ref").agg(
         F.count(F.lit(1)).alias("n_frames")
     )
+    pf = video_payload_frames(media).groupBy("media_ref").agg(
+        F.count(F.lit(1)).alias("n_payload_frames")
+    )
     emb = media_embedding(media, dim=8).select(
         "media_ref", F.round(F.element_at("embedding", 1), 6).alias("e0")
     )
-    return frames.join(emb, "media_ref", "inner")
+    return frames.join(pf, "media_ref", "inner").join(emb, "media_ref", "inner")
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1955,12 +1967,14 @@ def oracle_sql() -> dict[str, str]:
       AND tcol BETWEEN 1 AND 62 AND trow BETWEEN 1 AND 62
     """
 
-    # Media stubs: the synthetic media table derives everything from
-    # xxhash64(media_ref[, lit k]) and sha256 bytes, so with the XXH64
-    # emulation the fake decode/frame/embedding pipelines replay in SQL
-    # exactly: refs regenerate from the span-mix arithmetic, metadata
-    # from the hash chains, and the tiled-payload channel means reduce
-    # to closed-form cycle sums over the 32 sha bytes.
+    # Media: metadata AND CONTENT derive from xxhash64 chains — the
+    # synthetic payloads are real encoded PNG/TIFF/WAV/GTV bytes whose
+    # pixel/sample content is the closed-form gradient
+    # (seed + channel + row) % 256, constant across columns. The oracle
+    # therefore integrates per-ROW values (<= 560 rows x ~250 refs — a
+    # few k rows in DuckDB) while Spark must inflate and unfilter the
+    # actual bytes to reach the same integers: a broken decoder breaks
+    # the value hash, not just a shape check.
     from geotools_spark.testkit.xxh64_sql import (
         pmod_signed,
         xxh64_ctes,
@@ -1971,7 +1985,8 @@ def oracle_sql() -> dict[str, str]:
     _k2_ctes, _k2_fin = xxh64_int_const_ctes(_ms_fin, 2, "hb", "hw", prefix="k2")
     _k3_ctes, _k3_fin = xxh64_int_const_ctes(_k2_fin, 3, "hb", "hh", prefix="k3")
     _k1_ctes, _k1_fin = xxh64_int_const_ctes(_k3_fin, 1, "hb", "hd", prefix="k1")
-    _HEXV = "(strpos('0123456789abcdef', {c}) - 1)"
+    _k5_ctes, _k5_fin = xxh64_int_const_ctes(_k1_fin, 5, "hb", "hsd", prefix="k5")
+    _k6_ctes, _k6_fin = xxh64_int_const_ctes(_k5_fin, 6, "hb", "hnf", prefix="k6")
     _media_prefix = f"""
     WITH ids AS (SELECT CAST(i AS BIGINT) AS id FROM generate_series(0, 4999) t(i)),
     spans AS (SELECT id, CAST(j AS BIGINT) AS i
@@ -1990,59 +2005,56 @@ def oracle_sql() -> dict[str, str]:
     {", ".join(_k2_ctes)},
     {", ".join(_k3_ctes)},
     {", ".join(_k1_ctes)},
+    {", ".join(_k5_ctes)},
+    {", ".join(_k6_ctes)},
     meta AS MATERIALIZED (SELECT media_ref,
       {pmod_signed('hb', 3)} AS kindix,
       {pmod_signed('hw', 48)} * 16 + 64 AS width,
       {pmod_signed('hh', 32)} * 16 + 64 AS height,
-      ({pmod_signed('hd', 1000)} + 1) * 40 AS duration_ms
-      FROM {_k1_fin}),
-    sha AS (SELECT media_ref, sha256(media_ref) AS hx FROM refs),
-    sb AS MATERIALIZED (SELECT s.media_ref, CAST(g.j AS BIGINT) AS j,
-           {_HEXV.format(c="substr(s.hx, CAST(2*g.j+1 AS INT), 1)")} * 16
-           + {_HEXV.format(c="substr(s.hx, CAST(2*g.j+2 AS INT), 1)")} AS byte
-           FROM sha s CROSS JOIN generate_series(0, 31) g(j)),
-    ssum AS (SELECT media_ref, SUM(byte) AS s FROM sb GROUP BY media_ref)
+      ({pmod_signed('hd', 1000)} + 1) * 40 AS duration_ms,
+      {pmod_signed('hsd', 256)} AS seed,
+      {pmod_signed('hnf', 5)} + 2 AS nf
+      FROM {_k6_fin})
     """
     sqls["media_decode"] = _media_prefix + """,
-    img AS (SELECT m.media_ref, m.width * m.height AS wh
-            FROM meta m WHERE m.kindix = 0),
-    partial_r AS (SELECT i.media_ref,
-                         SUM(CASE WHEN g.k < i.wh % 32 THEN b.byte ELSE 0 END)
-                           AS pr
-                  FROM img i
-                  CROSS JOIN generate_series(0, 31) g(k)
-                  JOIN sb b ON b.media_ref = i.media_ref
-                           AND b.j = (3 * g.k) % 32
-                  GROUP BY i.media_ref),
-    partial_all AS (SELECT i.media_ref,
-                           SUM(CASE WHEN b.j < (3 * i.wh) % 32 THEN b.byte
-                                    ELSE 0 END) AS pa
-                    FROM img i JOIN sb b ON b.media_ref = i.media_ref
-                    GROUP BY i.media_ref)
-    SELECT i.media_ref,
-      ROUND(((i.wh // 32) * ss.s + pr.pr) / CAST(i.wh AS DOUBLE), 6) AS mean_r,
-      ROUND((((3 * i.wh) // 32) * ss.s + pa.pa)
-            / CAST(3 * i.wh AS DOUBLE), 6) AS brightness
-    FROM img i
-    JOIN ssum ss ON ss.media_ref = i.media_ref
-    JOIN partial_r pr ON pr.media_ref = i.media_ref
-    JOIN partial_all pa ON pa.media_ref = i.media_ref
+    img AS (SELECT media_ref, width, height, seed FROM meta WHERE kindix = 0),
+    rowsum AS (SELECT i.media_ref, i.height,
+                 SUM((i.seed + g.r) % 256)     AS s0,
+                 SUM((i.seed + 1 + g.r) % 256) AS s1,
+                 SUM((i.seed + 2 + g.r) % 256) AS s2
+               FROM img i
+               JOIN generate_series(0, 559) g(r) ON g.r < i.height
+               GROUP BY i.media_ref, i.height)
+    SELECT media_ref,
+      ROUND(CAST(s0 AS DOUBLE) / height, 6) AS mean_r,
+      ROUND(CAST(s1 AS DOUBLE) / height, 6) AS mean_g,
+      ROUND(CAST(s2 AS DOUBLE) / height, 6) AS mean_b,
+      ROUND(CAST(s0 + s1 + s2 AS DOUBLE) / (3 * height), 6) AS brightness
+    FROM rowsum
     """
 
     sqls["media_frames"] = _media_prefix + """,
-    vid AS (SELECT media_ref, duration_ms FROM meta WHERE kindix = 2),
-    buckets AS (SELECT b.media_ref, g.p % 8 AS bkt, SUM(b.byte) AS v
-                FROM generate_series(0, 255) g(p)
-                JOIN sb b ON b.j = g.p % 32
-                GROUP BY b.media_ref, g.p % 8),
-    nrm AS (SELECT media_ref, SQRT(SUM(v * v)) AS nn FROM buckets
-            GROUP BY media_ref),
+    vid AS (SELECT media_ref, width, height, seed, nf, duration_ms
+            FROM meta WHERE kindix = 2),
+    fr AS (SELECT v.media_ref, v.width, v.height, v.seed,
+                  CAST(f.f AS BIGINT) AS f
+           FROM vid v JOIN generate_series(0, 6) f(f) ON f.f < v.nf),
+    rw AS (SELECT fr.media_ref, fr.width, g.r % 8 AS bkt,
+                  ((fr.seed + fr.f + g.r) % 256)
+                  + ((fr.seed + fr.f + 1 + g.r) % 256)
+                  + ((fr.seed + fr.f + 2 + g.r) % 256) AS sv
+           FROM fr JOIN generate_series(0, 559) g(r) ON g.r < fr.height),
+    bv AS (SELECT media_ref, bkt,
+                  CAST(width AS HUGEINT) * SUM(sv) AS v
+           FROM rw GROUP BY media_ref, bkt, width),
+    nsq AS (SELECT media_ref, SUM(v * v) AS n2 FROM bv GROUP BY media_ref),
     e0 AS (SELECT b.media_ref,
-                  CASE WHEN n.nn > 0 THEN b.v / n.nn ELSE b.v END AS e0
-           FROM buckets b JOIN nrm n ON b.media_ref = n.media_ref
+                  CAST(b.v AS DOUBLE) / SQRT(CAST(n.n2 AS DOUBLE)) AS e0
+           FROM bv b JOIN nsq n ON b.media_ref = n.media_ref
            WHERE b.bkt = 0)
     SELECT v.media_ref,
            CAST(GREATEST(v.duration_ms - 1, 0) // 500 + 1 AS BIGINT) AS n_frames,
+           CAST(v.nf AS BIGINT) AS n_payload_frames,
            ROUND(e0.e0, 6) AS e0
     FROM vid v JOIN e0 ON e0.media_ref = v.media_ref
     """

@@ -32,14 +32,20 @@ def _read_tag_values(buf: bytes, bo: str, typ: int, count: int, val_off: int, in
 
 
 def read_strip_tiff(path: str):
-    """Read bands + geotransform from an uncompressed strip TIFF.
+    """Read bands + geotransform from an uncompressed strip TIFF file.
 
     Returns (data, transform): data is float64 ndarray (height, width,
     samples); transform is the 6-element GDAL-style affine
     (originX, pixelW, 0, originY, 0, -pixelH).
     """
     with open(path, "rb") as fh:
-        buf = fh.read()
+        return read_strip_tiff_bytes(fh.read())
+
+
+def read_strip_tiff_bytes(buf: bytes):
+    """Bytes entry point for in-memory payloads (operators/media.py):
+    same contract as :func:`read_strip_tiff`, plus uint8 samples
+    (BitsPerSample 8 / SampleFormat 1) next to the float32 grid case."""
     if buf[:2] == b"II":
         bo = "<"
     elif buf[:2] == b"MM":
@@ -66,13 +72,16 @@ def read_strip_tiff(path: str):
         raise NotImplementedError("only uncompressed TIFFs supported")
     if int(tags.get(284, [1])[0]) != 1:
         raise NotImplementedError("only contiguous planar config supported")
-    if any(int(b) != 32 for b in bps) or any(int(f) != 3 for f in fmt):
-        raise NotImplementedError("only float32 samples supported")
+    if all(int(b) == 32 for b in bps) and all(int(f) == 3 for f in fmt):
+        dt = np.dtype(bo + "f4")
+    elif all(int(b) == 8 for b in bps) and all(int(f) == 1 for f in fmt):
+        dt = np.dtype("u1")
+    else:
+        raise NotImplementedError("only float32 or uint8 samples supported")
 
     offsets = tags[273]
     counts = tags[279]
     rows_per_strip = int(tags.get(278, [height])[0])
-    dt = np.dtype(bo + "f4")
     data = np.empty((height, width, spp), dtype=np.float64)
     row = 0
     for off, cnt in zip(offsets, counts):

@@ -1,18 +1,23 @@
-"""Multimodal media plumbing: deterministic synthesis, decode-stub
-batch shapes, frame explode, embeddings, span->media join."""
+"""Multimodal media: real byte-level codecs (PNG/TIFF/WAV/GTV),
+decoded-pixel statistics, frame explode, embeddings, span->media join."""
 
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from geotools_spark.operators.media import (
+    _audio_samples,
+    _gradient_pixels,
+    decode_audio_stats,
     decode_image_stats,
     frame_sample,
     media_embedding,
     resize_image_meta,
     synthetic_media,
+    video_payload_frames,
 )
 from geotools_spark.operators.spans import explode_spans
+from geotools_spark.sources import codecs
 from geotools_spark.sources.datagen import synthetic_documents
 
 
@@ -28,39 +33,176 @@ def media(spark):
     return synthetic_media(spark, refs).cache()
 
 
+# ------------------------------------------------------------- codecs
+
+
+def test_png_round_trip_all_shapes():
+    rs = np.random.RandomState(0)
+    for shape in [(5, 7, 3), (4, 4, 1), (16, 9, 4), (1, 1, 3)]:
+        a = rs.randint(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(a)), a)
+
+
+def test_png_unfilters_all_five_filter_types():
+    # handcraft a PNG whose rows use filters 0..4 (our encoder emits
+    # only 0; the decoder must handle the full spec)
+    import struct
+    import zlib
+
+    rs = np.random.RandomState(1)
+    a = rs.randint(0, 256, (6, 5, 3), dtype=np.uint8)
+    h, w, c = a.shape
+    stride = w * c
+    rows, prev = [], np.zeros(stride, np.int64)
+    for r, f in zip(range(h), [0, 1, 2, 3, 4, 2]):
+        cur = a[r].reshape(stride).astype(np.int64)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(c, np.int64), cur[:-c]])
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            enc = np.empty(stride, np.int64)
+            for x in range(stride):
+                left = cur[x - c] if x >= c else 0
+                enc[x] = (cur[x] - (left + prev[x]) // 2) % 256
+        else:
+            enc = np.empty(stride, np.int64)
+            for x in range(stride):
+                A = cur[x - c] if x >= c else 0
+                B = int(prev[x])
+                C = int(prev[x - c]) if x >= c else 0
+                p = A + B - C
+                pa, pb, pc = abs(p - A), abs(p - B), abs(p - C)
+                pred = A if (pa <= pb and pa <= pc) else (B if pb <= pc else C)
+                enc[x] = (cur[x] - pred) % 256
+        rows.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    raw = b"".join(rows)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(png), a)
+
+
+def test_png_rejects_corrupt_crc():
+    a = np.zeros((4, 4, 3), np.uint8)
+    buf = bytearray(codecs.encode_png(a))
+    buf[20] ^= 0xFF  # flip a byte inside IHDR
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.decode_png(bytes(buf))
+
+
+def test_tiff_round_trip_uint8():
+    rs = np.random.RandomState(2)
+    for shape in [(5, 7, 3), (9, 4, 1)]:
+        a = rs.randint(0, 256, shape, dtype=np.uint8)
+        t = codecs.encode_strip_tiff_u8(a)
+        assert np.array_equal(codecs.decode_image(t), a)
+
+
+def test_wav_round_trip():
+    rs = np.random.RandomState(3)
+    s = rs.randint(-32768, 32768, 1000).astype(np.int16)
+    rate, ch, out = codecs.decode_wav(codecs.encode_wav(s, rate=16000))
+    assert (rate, ch) == (16000, 1)
+    assert np.array_equal(out, s)
+
+
+def test_gtv_round_trip():
+    frames = [codecs.encode_png(np.full((3, 3, 3), i, np.uint8)) for i in range(4)]
+    assert codecs.decode_gtv(codecs.encode_gtv(frames)) == frames
+
+
+# ---------------------------------------------------------- operators
+
+
 def test_media_schema_and_determinism(spark, media):
     rows = media.collect()
     assert len(rows) > 10
     kinds = {r.kind for r in rows}
-    assert kinds <= {"image", "audio", "video"}
-    for r in rows[:5]:
-        assert isinstance(r.payload, (bytes, bytearray)) and len(r.payload) == 256
+    assert kinds == {"image", "audio", "video"}
+    magics = {"image": (b"\x89PNG", b"II*\x00"), "audio": (b"RIFF",), "video": (b"GTV1",)}
+    for r in rows:
+        head = bytes(r.payload[:4])
+        assert any(head.startswith(m[: len(head)]) for m in magics[r.kind]), (r.kind, head)
         assert r.meta.width >= 64 and r.meta.height >= 64
     # determinism: regenerating yields identical payloads
     again = {r.media_ref: bytes(r.payload) for r in media.collect()}
     for r in rows:
         assert again[r.media_ref] == bytes(r.payload)
+    # both image formats actually occur (hash-chosen PNG vs TIFF)
+    img_magics = {bytes(r.payload[:2]) for r in rows if r.kind == "image"}
+    assert img_magics == {b"\x89P", b"II"}
 
 
-def test_decode_image_stats(spark, media):
-    out = decode_image_stats(media).collect()
-    imgs = media.filter(F.col("kind") == "image").count()
-    assert len(out) == imgs
+def test_decode_image_stats_matches_closed_form(spark, media):
+    out = {r.media_ref: r for r in decode_image_stats(media).collect()}
+    imgs = media.filter(F.col("kind") == "image").collect()
+    assert len(out) == len(imgs)
+    for m in imgs:
+        # closed form: mean_c = mean over rows of (seed + c + r) % 256;
+        # seed is re-derived the same way the generator derives it
+        px = codecs.decode_image(bytes(m.payload))
+        h, w, c = px.shape
+        assert (w, h) == (m.meta.width, m.meta.height)
+        r = out[m.media_ref]
+        s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        assert r.mean_r == int(s[0]) / (w * h)
+        assert r.brightness == int(s.sum()) / (w * h * 3)
+        # gradient content: every row is constant across columns
+        assert (px == px[:, :1, :]).all()
+
+
+def test_decode_audio_stats(spark, media):
+    out = {r.media_ref: r for r in decode_audio_stats(media).collect()}
+    auds = media.filter(F.col("kind") == "audio").collect()
+    assert len(out) == len(auds)
+    for m in auds:
+        r = out[m.media_ref]
+        assert r.n_samples == 16000 * m.meta.duration_ms // 1000
+        _, _, s = codecs.decode_wav(bytes(m.payload))
+        x = s.astype(np.float64)
+        assert r.mean_amp == pytest.approx(x.mean())
+        assert r.rms == pytest.approx(np.sqrt((x * x).mean()))
+
+
+def test_video_payload_frames(spark, media):
+    out = video_payload_frames(media).collect()
+    vids = {r.media_ref: bytes(r.payload) for r in media.filter("kind = 'video'").collect()}
+    per_ref = {}
     for r in out:
-        assert 0.0 <= r.brightness <= 255.0
-        assert r.brightness == pytest.approx((r.mean_r + r.mean_g + r.mean_b) / 3, abs=1.0)
-
-
-def test_decode_real_path_is_gated(spark, media):
-    with pytest.raises(NotImplementedError):
-        decode_image_stats(media, fake_decode=False)
+        per_ref.setdefault(r.media_ref, []).append(r)
+    assert set(per_ref) == set(vids)
+    for ref, rows in per_ref.items():
+        frames = codecs.decode_gtv(vids[ref])
+        assert len(rows) == len(frames)
+        assert 2 <= len(frames) <= 6  # nframes = hash % 5 + 2
+        for row in sorted(rows, key=lambda r: r.frame_idx):
+            px = codecs.decode_png(frames[row.frame_idx])
+            assert row.frame_mean == int(px.sum(dtype=np.int64)) / px.size
 
 
 def test_resize_rewrites_meta_only(spark, media):
+    before = {r.media_ref: len(r.payload) for r in media.collect()}
     out = resize_image_meta(media, width=224, height=224).collect()
     for r in out:
         assert (r.meta.width, r.meta.height) == (224, 224)
-        assert len(r.payload) == 256  # payload untouched (lazy resample)
+        assert len(r.payload) == before[r.media_ref]  # payload untouched
 
 
 def test_frame_sample_counts(spark, media):
@@ -72,13 +214,34 @@ def test_frame_sample_counts(spark, media):
         assert got[ref] == (max(dur - 1, 0)) // 500 + 1
 
 
-def test_media_embedding_normalized(spark, media):
+def test_media_embedding_normalized_and_decode_derived(spark, media):
     out = media_embedding(media, dim=8).collect()
     assert len(out) == media.count()
+    payloads = {r.media_ref: (r.kind, bytes(r.payload)) for r in media.collect()}
     for r in out:
         v = np.array(r.embedding)
         assert len(v) == 8
         assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-9)
+        kind, buf = payloads[r.media_ref]
+        if kind == "image":
+            # embedding is the row-index fold of the DECODED pixels
+            px = codecs.decode_image(buf)
+            ref = np.array(
+                [int(px[k::8].sum(dtype=np.int64)) for k in range(8)], dtype=np.float64
+            )
+            n2 = int((ref.astype(np.int64) ** 2).sum())
+            ref = ref / float(np.sqrt(float(n2)))
+            assert np.array_equal(v, ref)
+
+
+def test_gradient_and_audio_closed_forms():
+    px = _gradient_pixels(250, 4, 300, frame=2)
+    r = np.arange(300)[:, None]
+    for c in range(3):
+        assert np.array_equal(px[:, 0, c], ((250 + 2 + c + r[:, 0]) % 256).astype(np.uint8))
+    s = _audio_samples(7, 1000)
+    assert len(s) == 16000
+    assert s[0] == (7 - 128) * 256 and s[300] == ((7 + 300) % 256 - 128) * 256
 
 
 def test_span_media_join_preserves_sequence(spark, media):
