@@ -208,6 +208,33 @@ def _q_grid_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_grid_skew_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof EXACT median/quantiles (VERDICT r02 #2): a quarter of
+    ALL points are remapped into one hot cell (pid % 4 = 0 -> (7,7)) —
+    the by-value order-statistic path answers exactly with O(distinct)
+    reducer state instead of materializing the hot cell's value list
+    (reference per-cell value buffering: src/lasgrid.cpp:236-249)."""
+    from geotools_spark.operators.salting import exact_quantiles_by_value
+
+    hot = F.col("pid") % 4 == 0
+    cells = derive.cells_df(spark, sf_dir).withColumns(
+        {
+            "cell_col": F.when(hot, F.lit(7).cast("bigint")).otherwise(F.col("cell_col")),
+            "cell_row": F.when(hot, F.lit(7).cast("bigint")).otherwise(F.col("cell_row")),
+        }
+    )
+    out = exact_quantiles_by_value(
+        cells, value="z", group=("cell_col", "cell_row"), quantile_num=4
+    )
+    return out.select(
+        "cell_col",
+        "cell_row",
+        F.col("count").cast("double").alias("cnt"),
+        F.round("median", 6).alias("zmed"),
+        *[F.round(f"q{i}", 6).alias(f"q{i}") for i in range(6)],
+    )
+
+
 def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 hierarchical cell encoding: Morton/Z-order keys at the leaf
     level rolled up two levels (parent = zkey >> 4) — the H3/S2-class
@@ -1215,7 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # all of them; rows-only queries (approximate / stateful / iterative
     # — see COVERAGE.md "Oracle coverage accounting") follow.
     return {
-        # --- oracled (50) ---
+        # --- oracled (first 50) ---
         "grid_stats": _q_grid_stats,
         "grid_filtered": _q_grid_filtered,
         "grid_quantiles": _q_grid_quantiles,
@@ -1223,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": _q_quantile_filter,
         "kurtosis_quirk": _q_kurtosis_quirk,
         "grid_salted": _q_grid_salted,
+        "grid_skew_quantiles": _q_grid_skew_quantiles,
         "cell_rollup": _q_cell_rollup,
         "gap_fraction": _q_gap_fraction,
         "pip_join": _q_pip_join,
@@ -1242,7 +1270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "smooth3": _q_smooth3,
-        "smooth3_tiled": _q_smooth3_tiled,
         "local_max": _q_local_max,
         "local_min": _q_local_min,
         "edge_pixels": _q_edge_pixels,
@@ -1266,6 +1293,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic": _q_mosaic,
         "loess": _q_loess,
         "embed_neardup": _q_embed_neardup,
+        # --- oracled past the 50-query driver cap (COVERAGE.md
+        # "Oracle coverage accounting": smooth3_tiled is the exact twin
+        # of the oracled smooth3 and additionally pytest-pinned; a
+        # >50-capable driver still hash-checks it here) ---
+        "smooth3_tiled": _q_smooth3_tiled,
         # --- rows-only (approximate / stateful / non-SQL-expressible) ---
         "ann_lsh": _q_ann_lsh,
         "rastfit": _q_rastfit,
@@ -1333,6 +1365,31 @@ def oracle_sql() -> dict[str, str]:
              LIST(z ORDER BY z) AS vals
       FROM cells GROUP BY cell_col, cell_row)
     SELECT cell_col, cell_row, cnt, {q_exprs} FROM packed
+    """
+
+    # Skewed fixture: 25% of points remapped into cell (7,7); the
+    # Spark side answers by value counts (no per-cell list), the
+    # oracle by the literal sorted list — same order statistics.
+    skq_exprs = ", ".join(
+        "ROUND(vals[CAST(CEIL(({i} / 5.0) * (cnt - 1)) AS INT) + 1], 6) AS q{i}".format(i=i)
+        for i in range(6)
+    )
+    sqls["grid_skew_quantiles"] = f"""
+    {_CELLS_CTE},
+    sk AS (SELECT CASE WHEN pid % 4 = 0 THEN 7 ELSE cell_col END AS cell_col,
+                  CASE WHEN pid % 4 = 0 THEN 7 ELSE cell_row END AS cell_row,
+                  z
+           FROM cells),
+    packed AS (
+      SELECT cell_col, cell_row, CAST(COUNT(*) AS DOUBLE) AS cnt,
+             COUNT(*) AS n, LIST(z ORDER BY z) AS vals
+      FROM sk GROUP BY cell_col, cell_row)
+    SELECT cell_col, cell_row, cnt,
+      ROUND(CASE WHEN n % 2 = 1 THEN vals[CAST(n // 2 AS INT) + 1]
+                 ELSE (vals[CAST(n // 2 AS INT)] + vals[CAST(n // 2 AS INT) + 1]) / 2.0
+            END, 6) AS zmed,
+      {skq_exprs}
+    FROM packed
     """
 
     di = "CAST(intensity AS DOUBLE)"

@@ -36,6 +36,89 @@ ALGEBRAIC = ("count", "density", "min", "max", "sum", "mean",
 HOLISTIC = ("median", "quantiles")
 
 
+def exact_quantiles_by_value(
+    points: DataFrame,
+    *,
+    value: str = "z",
+    group: Sequence[str] = ("cell_col", "cell_row"),
+    quantile_num: int = 4,
+    include_median: bool = True,
+) -> DataFrame:
+    """Skew-proof EXACT median/quantiles without materializing any
+    cell's value list (VERDICT r02 #2).
+
+    The per-cell ``sort_array(collect_list(z))`` path (gridstats) puts
+    a hot cell's entire value list in one aggregation buffer; the
+    salted variant balances the shuffle but still merges the full list
+    in phase 2. This operator computes the same order statistics by
+    VALUE COUNTS instead:
+
+      1. ``groupBy(group, value).count()`` — partial (map-side)
+         aggregation crushes a hot cell's duplicates before the
+         shuffle; reducer state is one row per DISTINCT value.
+      2. a running-count window per cell over the sorted distinct
+         values (shuffle by cell; sort cost is O(distinct), not O(n)).
+      3. the k-th order statistic is the first value whose cumulative
+         count reaches k+1 — a ``min(when(cum >= k+1, value))``
+         groupBy that reuses the window's hash partitioning (NO third
+         exchange; asserted in tests/test_plans.py).
+
+    Per-cell reducer memory is O(distinct values), so a billion-point
+    hot cell with quantized LiDAR z costs a few thousand rows instead
+    of a billion. Residual skew only remains if one cell also
+    dominates the DISTINCT-value count — the worst case degrades to
+    the sorted-list cost, never above it.
+
+    Bit-identical to ``cell_stats``'s median/ceil-index quantile rules
+    (reference src/cellstats.hpp median tie rule; lasgrid quantile
+    indexing): selections return exact input values; the only float
+    arithmetic is the even-``n`` median average.
+    """
+    v = F.col(value)
+    gcols = [F.col(g) for g in group]
+    cnts = points.where(v.isNotNull()).groupBy(*gcols, v.alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    from pyspark.sql.window import Window
+
+    wcum = (
+        Window.partitionBy(*group)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group)
+    d = cnts.withColumn("_cum", F.sum("_c").over(wcum)).withColumn(
+        "_n", F.sum("_c").over(wall)
+    )
+    cum, n = F.col("_cum"), F.col("_n")
+
+    def val_at(k):  # k: 0-based order-statistic index (Column)
+        return F.min(F.when(cum >= k + 1, F.col("_v")))
+
+    half = F.floor(n / 2)
+    aggs = [F.max("_n").alias("_n_out")]
+    if include_median:
+        aggs += [
+            val_at(half - 1).alias("_m_lo"),  # even: lower middle
+            val_at(half).alias("_m_hi"),      # odd median / even upper
+        ]
+    for i in range(quantile_num + 2):
+        frac = float(i) / float(quantile_num + 1)
+        idx = F.ceil(F.lit(frac) * (n - 1).cast("double")).cast("long")
+        aggs.append(val_at(idx).alias(f"_q{i}"))
+    out = d.groupBy(*gcols).agg(*aggs)
+
+    cols = [*gcols, F.col("_n_out").alias("count")]
+    if include_median:
+        cols.append(
+            F.when(F.col("_n_out") % 2 == 1, F.col("_m_hi"))
+            .otherwise((F.col("_m_lo") + F.col("_m_hi")) / 2.0)
+            .alias("median")
+        )
+    cols += [F.col(f"_q{i}").alias(f"q{i}") for i in range(quantile_num + 2)]
+    return out.select(*cols)
+
+
 def salted_cell_stats(
     points: DataFrame,
     *,

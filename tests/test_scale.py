@@ -64,6 +64,46 @@ def test_salted_quantiles(spark, skewed_cells):
             assert salted[key][q] == p[q], (key, q)
 
 
+def test_by_value_quantiles_equal_list_path(spark, skewed_cells):
+    """VERDICT r02 #2: the by-value order-statistic path must be
+    bit-identical to the sorted-list path on the hot-cell fixture —
+    median tie rule and ceil-index quantiles included."""
+    from geotools_spark.operators.salting import exact_quantiles_by_value
+
+    plain = {
+        (r.cell_col, r.cell_row): r
+        for r in cell_stats(
+            skewed_cells, stats=("count", "median", "quantiles"), res=1.0, quantile_num=4
+        ).collect()
+    }
+    byval = {
+        (r.cell_col, r.cell_row): r
+        for r in exact_quantiles_by_value(
+            skewed_cells, value="z", quantile_num=4
+        ).collect()
+    }
+    assert set(plain) == set(byval)
+    for key, p in plain.items():
+        b = byval[key]
+        assert float(b["count"]) == p["count"], key
+        assert b["median"] == p["median"], key  # exact, incl. even-n average
+        for i in range(6):
+            assert b[f"q{i}"] == p[f"q{i}"], (key, i)
+
+
+def test_by_value_quantiles_plan_has_no_third_exchange(spark, skewed_cells):
+    """Plan shape: partial(map-side) agg on (cell, value), one shuffle
+    for it, one shuffle for the per-cell window — the final order-
+    statistic groupBy must REUSE the window's hash partitioning."""
+    from geotools_spark.operators.salting import exact_quantiles_by_value
+
+    df = exact_quantiles_by_value(skewed_cells, value="z", quantile_num=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial" in plan.lower()  # map-side combine on (cell, value)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_checkpointed_write_resume(spark, tmp_path, skewed_cells):
     path = str(tmp_path / "table")
     grid = cell_stats(skewed_cells, stats=("count", "mean"), res=1.0).withColumn(
