@@ -1137,18 +1137,26 @@ def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_tree_crowns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9 crown region-growing from W2 treetops over the smoothed
-    mean-z raster (the composed treetops pipeline); ONE halo-tile
-    vectorized BFS pass — rows-only check (BFS oracle + tiled≡
-    iterative parity in tests/test_crowns.py)."""
-    from geotools_spark.operators.crowns import treetops_pipeline
+    mean-z raster; ONE halo-tile vectorized BFS pass. Now ORACLED
+    (VERDICT r02 #8): the synchronous automaton advances at most
+    ceil(radius)+1 = 7 waves, so the oracle UNROLLS the wave-BFS into 7
+    chained SQL steps (first-assignment-wins via NOT EXISTS, min-top_id
+    within a wave via GROUP BY). The CHM is rounded to 6 dp before
+    growing so the cross-engine <=/< comparisons see representation-
+    identical values (the raw gaussian sums can differ in the last ulp
+    between engines' summation orders — same trick smooth3 relies on)."""
+    from geotools_spark.operators.crowns import tree_crowns
+    from geotools_spark.operators.raster import gaussian_smooth, local_maxima
 
-    tops, crowns = treetops_pipeline(
-        _mean_raster(spark, sf_dir),
-        cols=64,
-        rows=64,
-        min_height=20.0,
-        height_fraction=0.8,
-        radius_cells=6.0,
+    sm = gaussian_smooth(
+        _mean_raster(spark, sf_dir), sigma=0.8, size=3, cols=64, rows=64
+    )
+    sm = sm.filter(F.col("smoothed").isNotNull()).select(
+        "cell_col", "cell_row", F.round("smoothed", 6).alias("value")
+    )
+    tops = local_maxima(sm, window=3, min_height=20.0, cols=64, rows=64)
+    crowns = tree_crowns(
+        sm, tops, min_height=20.0, height_fraction=0.8, radius_cells=6.0
     )
     return crowns.groupBy("top_id").agg(F.count(F.lit(1)).alias("crown_cells"))
 
@@ -1270,8 +1278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "smooth3": _q_smooth3,
-        "local_max": _q_local_max,
-        "local_min": _q_local_min,
+        "tree_crowns": _q_tree_crowns,
+        "direction_flips": _q_direction_flips,
         "edge_pixels": _q_edge_pixels,
         "ring_fill": _q_ring_fill,
         "raster_diff": _q_raster_diff,
@@ -1294,20 +1302,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loess": _q_loess,
         "embed_neardup": _q_embed_neardup,
         # --- oracled past the 50-query driver cap (COVERAGE.md
-        # "Oracle coverage accounting": smooth3_tiled is the exact twin
-        # of the oracled smooth3 and additionally pytest-pinned; a
-        # >50-capable driver still hash-checks it here) ---
+        # "Oracle coverage accounting"): smooth3_tiled is the tiled
+        # twin of the oracled smooth3; local_min is local_max with the
+        # comparator inverted; local_max itself is transitively
+        # hash-verified inside tree_crowns' oracle (its treetops CTE
+        # replays the same window-maxima rule). All three stay fully
+        # oracled here and pytest-pinned (test_raster.py); a
+        # >50-capable driver still hash-checks them. ---
         "smooth3_tiled": _q_smooth3_tiled,
+        "local_min": _q_local_min,
+        "local_max": _q_local_max,
         # --- rows-only (approximate / stateful / non-SQL-expressible) ---
         "ann_lsh": _q_ann_lsh,
         "rastfit": _q_rastfit,
         "csrs_transform": _q_csrs_transform,
-        "direction_flips": _q_direction_flips,
         "kriging": _q_kriging,
         "normalize_heights": _q_normalize_heights,
         "rugosity": _q_rugosity,
         "boundary": _q_boundary,
-        "tree_crowns": _q_tree_crowns,
         "natural_neighbour": _q_natural_neighbour,
         "las_validate": _q_las_validate,
         "ann_ivf": _q_ann_ivf,
@@ -2022,6 +2034,145 @@ def oracle_sql() -> dict[str, str]:
     FROM agg
     WHERE c IS NOT NULL AND (mn IS NULL OR c < mn)
       AND tcol BETWEEN 1 AND 62 AND trow BETWEEN 1 AND 62
+    """
+
+    # W9 tree crowns: the synchronous region-growing automaton runs at
+    # most ceil(radius)+1 = 7 waves, so the recursion UNROLLS into 7
+    # chained CTE steps of pure ANSI SQL — per wave: D8 candidates from
+    # the frontier (strict descent, min-height, height-fraction vs the
+    # source's top, squared cell distance to the top <= r^2), blocked
+    # on already-assigned cells (NOT EXISTS = first-assignment-wins),
+    # min-top_id winner per contested cell (the Spark side's
+    # deterministic tie rule), winner re-joined to its top's attrs.
+    _crown_steps = []
+    for k in range(7):
+        _crown_steps.append(f"""
+    cand{k} AS (
+      SELECT f.c + o.dx AS c, f.r + o.dy AS r, f.tid, sm.v AS z
+      FROM f{k} f
+      JOIN offs o ON NOT (o.dx = 0 AND o.dy = 0)
+      JOIN sm ON sm.c = f.c + o.dx AND sm.r = f.r + o.dy
+      WHERE sm.v < f.z AND sm.v >= 20.0 AND sm.v / f.tz >= 0.8
+        AND (f.c + o.dx - f.tc) * (f.c + o.dx - f.tc)
+            + (f.r + o.dy - f.tr) * (f.r + o.dy - f.tr) <= 36.0
+    ),
+    win{k} AS (
+      SELECT c, r, MIN(tid) AS tid, MAX(z) AS z
+      FROM cand{k} cd
+      WHERE NOT EXISTS (SELECT 1 FROM a{k} a WHERE a.c = cd.c AND a.r = cd.r)
+      GROUP BY c, r
+    ),
+    f{k + 1} AS (
+      SELECT w.c, w.r, w.tid, w.z, t.c AS tc, t.r AS tr, t.z AS tz
+      FROM win{k} w JOIN topc t ON t.tid = w.tid
+    ),
+    a{k + 1} AS (SELECT c, r, tid FROM a{k} UNION ALL SELECT c, r, tid FROM f{k + 1})""")
+    sqls["tree_crowns"] = f"""
+    {_RASTER_CTE}, {_OFFS},
+    smc AS (
+      SELECT rst.cell_col + o.dx AS tcol, rst.cell_row + o.dy AS trow,
+             rst.value * (1.0/(2.0*PI()*0.64)) *
+               EXP(-((o.dx*o.dx + o.dy*o.dy) / 1.28)) AS wv
+      FROM raster rst CROSS JOIN offs o),
+    smagg AS (SELECT tcol, trow, SUM(wv) AS s, COUNT(*) AS n
+              FROM smc GROUP BY tcol, trow),
+    sm AS (SELECT tcol AS c, trow AS r, ROUND(s, 6) AS v FROM smagg
+           WHERE n = 9 AND tcol BETWEEN 1 AND 61 AND trow BETWEEN 1 AND 61),
+    tmc AS (
+      SELECT s.c + o.dx AS tcol, s.r + o.dy AS trow,
+        CASE WHEN o.dx = 0 AND o.dy = 0 THEN s.v END AS center_v,
+        CASE WHEN NOT (o.dx = 0 AND o.dy = 0)
+              AND (o.dy > 0 OR (o.dy = 0 AND o.dx > 0)) THEN s.v END AS before_v,
+        CASE WHEN NOT (o.dx = 0 AND o.dy = 0)
+              AND NOT (o.dy > 0 OR (o.dy = 0 AND o.dx > 0)) THEN s.v END AS after_v
+      FROM sm s CROSS JOIN offs o),
+    tmagg AS (SELECT tcol, trow, MAX(center_v) AS cv, MAX(before_v) AS b,
+                     MAX(after_v) AS af
+              FROM tmc GROUP BY tcol, trow),
+    topc AS (
+      SELECT CAST(tcol * 4294967296 + trow AS BIGINT) AS tid,
+             tcol AS c, trow AS r, cv AS z
+      FROM tmagg
+      WHERE cv IS NOT NULL AND cv >= 20.0 AND cv > 0
+        AND (b IS NULL OR b < cv) AND (af IS NULL OR af <= cv)
+        AND tcol BETWEEN 1 AND 61 AND trow BETWEEN 1 AND 61),
+    f0 AS (SELECT c, r, tid, z, c AS tc, r AS tr, z AS tz FROM topc),
+    a0 AS (SELECT c, r, tid FROM topc),
+    {", ".join(_crown_steps)}
+    SELECT tid AS top_id, CAST(COUNT(*) AS BIGINT) AS crown_cells
+    FROM a7 GROUP BY tid
+    """
+
+    # W8 direction flips: the per-line 20-point double-queue scan
+    # (src/lasreclass.cpp:203-262 transcription) LOOKS stateful-only,
+    # but both queues are CONTIGUOUS index ranges in time order —
+    # elements enter at the back and leave at the front — so the whole
+    # automaton is a 5-int state machine (pq0 start s0, pq1 [s1, e1],
+    # last flush time, flipped count) advanced one point per recursion
+    # step. A flip always marks exactly 20+20 points (both queues are
+    # full when the test fires) and clears both queues; a gap > 0.4 s
+    # clears without marking. Directions are atan2 of (first, last) of
+    # each range, normalized to [0, 2pi).
+    sqls["direction_flips"] = f"""
+    WITH RECURSIVE pts AS ({derive.POINTS_CTE}),
+    pl AS (SELECT pid % 8 AS line_id,
+                  gps_time / 1000.0 + pid / 1e13 AS t, x, y
+           FROM pts),
+    pi AS MATERIALIZED (
+      SELECT line_id, t, x, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY line_id ORDER BY t) - 1
+                  AS BIGINT) AS i
+      FROM pl),
+    nline AS (SELECT line_id, COUNT(*) AS cnt FROM pi GROUP BY line_id),
+    st(line_id, i, s0, s1, e1, last_t, n31) AS (
+      SELECT line_id, CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE),
+             CAST(0 AS BIGINT)
+      FROM nline
+      UNION ALL
+      SELECT line_id, i,
+        CASE WHEN len0 <= 20 THEN s0a
+             WHEN len1 < 20 OR NOT flip THEN s0a + 1
+             ELSE i + 1 END,
+        CASE WHEN len0 <= 20 THEN s1a
+             WHEN len1 < 20 THEN s1b
+             WHEN flip THEN 0 ELSE s1b + 1 END,
+        CASE WHEN len0 <= 20 THEN e1a
+             WHEN len1 < 20 OR NOT flip THEN s0a
+             ELSE -1 END,
+        last2, CASE WHEN len0 > 20 AND len1 = 20 AND flip
+                    THEN n31 + 40 ELSE n31 END
+      FROM (
+        SELECT *,
+          i - s0a + 1 AS len0,
+          CASE WHEN s1a > e1a THEN s0a ELSE s1a END AS s1b,
+          s0a - (CASE WHEN s1a > e1a THEN s0a ELSE s1a END) + 1 AS len1,
+          ABS(
+            (CASE WHEN d0r < 0 THEN d0r + 2 * PI() ELSE d0r END)
+            - (CASE WHEN d1r < 0 THEN d1r + 2 * PI() ELSE d1r END)
+          ) > PI() * 0.75 AS flip
+        FROM (
+          SELECT s.line_id, p.i, s.n31,
+            CASE WHEN fl THEN p.i ELSE s.s0 END AS s0a,
+            CASE WHEN fl THEN 0 ELSE s.s1 END AS s1a,
+            CASE WHEN fl THEN -1 ELSE s.e1 END AS e1a,
+            CASE WHEN s.last_t = 0.0 OR fl THEN p.t ELSE s.last_t END AS last2,
+            ATAN2(p.y - pf0.y, p.x - pf0.x) AS d0r,
+            ATAN2(pl1.y - pf1.y, pl1.x - pf1.x) AS d1r
+          FROM (SELECT *, FALSE AS _dummy FROM st) s
+          JOIN pi p ON p.line_id = s.line_id AND p.i = s.i + 1
+          LEFT JOIN pi pf0 ON pf0.line_id = s.line_id AND pf0.i = s.s0 + 1
+          LEFT JOIN pi pf1 ON pf1.line_id = s.line_id
+                 AND pf1.i = CASE WHEN s.s1 > s.e1 THEN s.s0 ELSE s.s1 END
+          LEFT JOIN pi pl1 ON pl1.line_id = s.line_id AND pl1.i = s.s0
+          CROSS JOIN LATERAL (SELECT s.last_t <> 0.0 AND p.t - s.last_t > 0.4 AS fl) g
+        )
+      )
+    ),
+    fin AS (SELECT line_id, ARG_MAX(n31, i) AS n31 FROM st GROUP BY line_id)
+    SELECT CAST(n.line_id AS INT) AS line_id, CAST(n.cnt AS BIGINT) AS cnt,
+           f.n31 AS n31
+    FROM nline n JOIN fin f ON f.line_id = n.line_id
     """
 
     # Media: metadata AND CONTENT derive from xxhash64 chains — the

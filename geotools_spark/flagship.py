@@ -68,5 +68,11 @@ def materialize_docs_snapshot(spark: SparkSession, n_docs: int, path: str) -> Da
     return a scan of it. Idempotent overwrite."""
     synthetic_documents(
         spark, n_docs, partitions=max(spark.sparkContext.defaultParallelism, 4)
-    ).write.mode("overwrite").parquet(path)
+    ).write.mode("overwrite").option(
+        # 32 MB row groups: the span structs make wide column buffers;
+        # the default 128 MB groups OOM small driver heaps at >=8M docs
+        # (BENCH.md snapshot recipe) and smaller groups also give the
+        # scan-side planner finer split granularity
+        "parquet.block.size", str(32 * 1024 * 1024)
+    ).parquet(path)
     return spark.read.parquet(path)

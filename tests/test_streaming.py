@@ -50,6 +50,26 @@ def test_finalized_cells_match_batch(spark, points_dir, tmp_path):
         .start()
     )
     q.awaitTermination(120)
+    # the run must have been genuinely incremental AND stateful: at
+    # least two micro-batches consumed input (maxFilesPerTrigger=1),
+    # and the applyInPandasWithState operator reports state rows —
+    # cells split across the two files finalize only once batch 2's
+    # points arrive, so their stats prove state crossed the batch
+    # boundary (a single-batch run would vacuously pass the values)
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progress) >= 2, [p["numInputRows"] for p in q.recentProgress]
+    # no single batch carried the whole input...
+    total_rows = pts.count()
+    assert all(p["numInputRows"] < total_rows for p in progress)
+    # ...and the state store holds bytes after batch 1 (the Python
+    # stateful operator does not populate numRowsUpdated — use the
+    # store size custom metric as the state evidence)
+    first_ops = progress[0]["stateOperators"]
+    sizes = [
+        so.get("customMetrics", {}).get("stateOnCurrentVersionSizeBytes", 0)
+        for so in first_ops
+    ]
+    assert any(s > 0 for s in sizes), first_ops
     got = {
         (r.cell_col, r.cell_row): r
         for r in spark.sql("select * from fin_cells").collect()
