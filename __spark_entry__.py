@@ -1206,7 +1206,10 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_payload_frames,
     )
 
-    media = _media_table(spark, sf_dir)
+    # pin the encoded media table once: three consumers below would
+    # otherwise each regenerate docs -> explode -> distinct -> encode
+    # (same localCheckpoint pattern as rastfit/normalize_grid)
+    media = _media_table(spark, sf_dir).localCheckpoint()
     frames = frame_sample(media, every_ms=500).groupBy("media_ref").agg(
         F.count(F.lit(1)).alias("n_frames")
     )

@@ -95,10 +95,17 @@ def synthetic_media(spark: SparkSession, refs: DataFrame) -> DataFrame:
                 pdf["kind"], pdf["width"], pdf["height"], pdf["duration_ms"],
                 pdf["seed"], pdf["nframes"], pdf["use_tiff"],
             ):
+                # zlib level 1 for the synthetic encode: the generator
+                # is fixture plumbing, not the unit under test — the
+                # DECODE path does identical work either way, and
+                # level 1 halves the generator's share of the media
+                # queries' wall clock
                 if kd == "image":
                     px = _gradient_pixels(int(seed), int(w), int(hh))
                     payloads.append(
-                        codecs.encode_strip_tiff_u8(px) if ut else codecs.encode_png(px)
+                        codecs.encode_strip_tiff_u8(px)
+                        if ut
+                        else codecs.encode_png(px, level=1)
                     )
                 elif kd == "audio":
                     payloads.append(
@@ -106,7 +113,9 @@ def synthetic_media(spark: SparkSession, refs: DataFrame) -> DataFrame:
                     )
                 else:  # video: GTV container of PNG frames
                     frames = [
-                        codecs.encode_png(_gradient_pixels(int(seed), int(w), int(hh), f))
+                        codecs.encode_png(
+                            _gradient_pixels(int(seed), int(w), int(hh), f), level=1
+                        )
                         for f in range(int(nf))
                     ]
                     payloads.append(codecs.encode_gtv(frames))

@@ -114,7 +114,7 @@ def cpu_partition(df: DataFrame, *keys: str, factor: int = 2) -> DataFrame:
     so a downstream Python-heavy groupBy runs one task per core with a
     few groups each (straggler slack), regardless of how few bytes the
     shuffle carries."""
-    n = df.sparkSession.sparkContext.defaultParallelism * factor
+    n = default_parallelism(df.sparkSession) * factor
     if keys:
         from pyspark.sql import functions as F
 
