@@ -23,9 +23,13 @@ N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000000"))
 
 # Steal-suspect queries (VERDICT r02 #3): the five that regressed
 # r1->r2 on a host with documented multi-minute CPU-steal bursts are
-# timed min-of-3; every other query stays single-shot to keep the
-# suite wall-clock bounded.
+# timed min-of-3 unconditionally. Beyond those, any query whose FIRST
+# shot exceeds RETRY_THRESHOLD_S gets two more trials — a steal burst
+# inflates exactly the queries that then read as regressions, and the
+# min is the least-stolen window (methodology in BENCH.md). Fast
+# queries stay single-shot so the suite wall stays bounded.
 MIN_OF_3 = {"embed_neardup", "rastfit", "mosaic", "loess", "tree_crowns"}
+RETRY_THRESHOLD_S = 2.5
 
 
 def _sf_of(path: str) -> float:
@@ -247,12 +251,14 @@ def main() -> None:
     _materialize(entry_mod.entry(spark))
 
     for name, fn in entry_mod.queries().items():
-        trials = 3 if name in MIN_OF_3 else 1
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            _materialize(fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _materialize(fn(spark, SF_DIR))
+        best = time.perf_counter() - t0
+        if name in MIN_OF_3 or best > RETRY_THRESHOLD_S:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _materialize(fn(spark, SF_DIR))
+                best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
     # Headline docs/sec metric on the interleaved table.  The regime at

@@ -20,6 +20,12 @@ arrays and phase 2 merges them (flatten + sort_array) — the hot cell's
 sort is then the only residual serial cost, and the shuffle fan-in is
 already balanced. Results are bit-identical to the one-phase
 ``cell_stats``; tests pin that on a deliberately skewed table.
+
+For the truly hot cell (billions of rows), prefer
+:func:`exact_quantiles_by_value`: it computes the same exact order
+statistics from (cell, value) COUNTS — map-side combine crushes
+duplicates before the shuffle and reducer state is O(distinct values),
+so no value list is ever materialized.
 """
 
 from __future__ import annotations
