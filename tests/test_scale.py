@@ -91,6 +91,30 @@ def test_by_value_quantiles_equal_list_path(spark, skewed_cells):
             assert b[f"q{i}"] == p[f"q{i}"], (key, i)
 
 
+def test_by_value_quantiles_edge_cases(spark):
+    """n=1 cells, even/odd n, all-duplicate cells — the median tie rule
+    and ceil-index selections must hold at the boundaries."""
+    from geotools_spark.operators.salting import exact_quantiles_by_value
+
+    rows = (
+        [(0, 0, 5.0)]                                   # n=1
+        + [(1, 0, float(v)) for v in (1, 2, 3, 4)]      # even n, distinct
+        + [(2, 0, 7.0)] * 6                             # all duplicates
+        + [(3, 0, float(v)) for v in (9, 1, 5)]         # odd n
+        + [(4, 0, 2.0), (4, 0, 2.0), (4, 0, 4.0)]       # dup + distinct
+    )
+    df = spark.createDataFrame(rows, "cell_col long, cell_row long, z double")
+    out = {r.cell_col: r for r in exact_quantiles_by_value(df, value="z").collect()}
+    assert out[0]["median"] == 5.0 and out[0]["q0"] == 5.0 and out[0]["q5"] == 5.0
+    assert out[1]["median"] == 2.5          # even: mean of middles
+    assert out[1]["q0"] == 1.0 and out[1]["q5"] == 4.0
+    assert out[2]["median"] == 7.0 and out[2]["q3"] == 7.0
+    assert out[3]["median"] == 5.0          # odd: exact element
+    assert out[4]["median"] == 2.0          # dup-weighted middle
+    # ceil-index rule spot check: n=4, q2 -> idx ceil(2/5*3)=2 -> 3.0
+    assert out[1]["q2"] == 3.0
+
+
 def test_by_value_quantiles_plan_has_no_third_exchange(spark, skewed_cells):
     """Plan shape: partial(map-side) agg on (cell, value), one shuffle
     for it, one shuffle for the per-cell window — the final order-
