@@ -662,9 +662,12 @@ def _q_coregister(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.coregister import coregister_shifts
 
     cells = derive.cells_df(spark, sf_dir)
+    # pin the 4k-row aggregate: the 3-way band union feeds a self-join,
+    # so the unpinned lineage would rescan + reaggregate the points six
+    # times (same localCheckpoint pattern as spectral/media_frames)
     grids = cells.groupBy("cell_col", "cell_row").agg(
         F.avg("z").alias("a"), F.max("z").alias("b"), F.min("z").alias("c")
-    )
+    ).localCheckpoint()
     rasters = None
     for rid in ("a", "b", "c"):
         part = grids.select(
@@ -693,8 +696,13 @@ def _q_raster_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.raster import raster_pair_diff_stats
 
     cells = derive.cells_df(spark, sf_dir)
-    a = cells.groupBy("cell_col", "cell_row").agg(F.avg("z").alias("value"))
-    b = cells.groupBy("cell_col", "cell_row").agg(F.max("z").alias("value"))
+    # one scan + one pinned 4k-row aggregate for both bands (was two
+    # independent full aggregations)
+    g = cells.groupBy("cell_col", "cell_row").agg(
+        F.avg("z").alias("_a"), F.max("z").alias("_b")
+    ).localCheckpoint()
+    a = g.select("cell_col", "cell_row", F.col("_a").alias("value"))
+    b = g.select("cell_col", "cell_row", F.col("_b").alias("value"))
     rasters = a.withColumn("raster_id", F.lit("a")).unionByName(
         b.withColumn("raster_id", F.lit("b"))
     )
@@ -732,11 +740,13 @@ def _q_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.raster import spectral_pivot
 
     cells = derive.cells_df(spark, sf_dir)
+    # pin the 4k-row per-cell aggregate: the three band projections
+    # below would otherwise each rescan + reaggregate the point table
     agg = cells.groupBy("cell_col", "cell_row").agg(
         F.avg("z").alias("b1"),
         F.max("z").alias("b2"),
         F.count("z").cast("double").alias("b3"),
-    )
+    ).localCheckpoint()
     # band 2 exists only where the cell has >= 2 points, so the
     # all-bands-present rule (src/spectral.cpp:160-170) actually filters
     bands = None
@@ -923,6 +933,8 @@ def _q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cell_col", "cell_row")
         .agg(F.max("z").alias("value"))
+        # not pinned: feather and blend share the identical agg subplan
+        # and Spark serves the second via ReusedExchange (measured)
     )
     alpha = feather(overlay, distance=4.0, resolution=1.0, cols=64, rows=64)
     out = blend(base, overlay, alpha)
@@ -1151,6 +1163,9 @@ def _q_tree_crowns(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm = gaussian_smooth(
         _mean_raster(spark, sf_dir), sigma=0.8, size=3, cols=64, rows=64
     )
+    # NOT pinned: the two consumers (treetop finder, crown grower)
+    # share an identical sm subplan, so Spark serves the second from
+    # ReusedExchange — measured faster than an eager localCheckpoint
     sm = sm.filter(F.col("smoothed").isNotNull()).select(
         "cell_col", "cell_row", F.round("smoothed", 6).alias("value")
     )
