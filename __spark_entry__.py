@@ -426,6 +426,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: cross-document duplicated 8-token spans
+    (suffix-array-style boilerplate/contamination detection — the
+    modality doc-level exact/MinHash/SimHash can't see). Fixture
+    injects full-text copies (doc_id % 10) under new ids, so every
+    window of a copied original is duplicated. Span strings never
+    shuffle — only 64-bit hashes (operators/dedup.duplicate_spans)."""
+    from geotools_spark.operators.dedup import duplicate_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("copy "), F.col("text")).alias("text"),
+    )
+    out = duplicate_spans(docs.unionByName(dups), window=8)
+    return out.select("doc_id", "n_windows", "n_dup_windows", "dup_frac")
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.dedup import exact_dedup
 
@@ -1326,7 +1344,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-verified inside tree_crowns' oracle (its treetops CTE
         # replays the same window-maxima rule). All three stay fully
         # oracled here and pytest-pinned (test_raster.py); a
-        # >50-capable driver still hash-checks them. ---
+        # >50-capable driver still hash-checks them. dup_spans is the
+        # round-3 substring-dedup addition — fully oracled (pytest
+        # test_oracle_parity hash-checks it every run). ---
+        "dup_spans": _q_dup_spans,
         "smooth3_tiled": _q_smooth3_tiled,
         "local_min": _q_local_min,
         "local_max": _q_local_max,
@@ -1395,6 +1416,33 @@ def oracle_sql() -> dict[str, str]:
              LIST(z ORDER BY z) AS vals
       FROM cells GROUP BY cell_col, cell_row)
     SELECT cell_col, cell_row, cnt, {q_exprs} FROM packed
+    """
+
+    # Substring-level dedup: the per-doc duplicated-window counts are
+    # representation-independent, so the oracle groups the literal
+    # window strings while Spark groups their 64-bit hashes (same
+    # argument as ngram_jaccard's hashed grams).
+    sqls["dup_spans"] = """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, 'copy ' || text FROM documents
+      WHERE doc_id % 10 = 0),
+    t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+          FROM docs),
+    w AS (SELECT doc_id,
+            unnest([array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')
+                    FOR i IN range(1, GREATEST(len(toks) - 7, 0) + 1)]) AS win
+          FROM t),
+    pc AS (SELECT win, doc_id, COUNT(*) AS c FROM w GROUP BY win, doc_id),
+    d AS (SELECT *, COUNT(*) OVER (PARTITION BY win) AS ndocs FROM pc)
+    SELECT doc_id,
+      CAST(SUM(c) AS BIGINT) AS n_windows,
+      CAST(SUM(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_windows,
+      ROUND(SUM(CASE WHEN ndocs >= 2 THEN c ELSE 0 END)
+            / CAST(SUM(c) AS DOUBLE), 6) AS dup_frac
+    FROM d GROUP BY doc_id
     """
 
     # Skewed fixture: 25% of points remapped into cell (7,7); the

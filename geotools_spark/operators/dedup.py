@@ -385,3 +385,62 @@ def ngram_jaccard_pairs(
             F.col("_si") / (F.col("_sa") + F.col("_sb") - F.col("_si")).cast("double"), 6
         ).alias("jaccard"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the substring-level
+    dedup modality (suffix-array style, cf. "Deduplicating Training
+    Data Makes Language Models Better": repeated token windows across
+    documents mark boilerplate/contamination that doc-level exact /
+    MinHash / SimHash dedup cannot see).
+
+    Spark-first shape for 10^12 docs:
+      1. rolling ``window``-token spans per doc, hashed to 64 bits
+         IN the projection — the span STRINGS never reach a shuffle,
+         only (doc_id, span_hash) longs do;
+      2. groupBy(hash, doc) — map-side combine crushes within-doc
+         repeats of hot boilerplate before the wire;
+      3. docs-per-hash via a window over the hash partitioning, then
+         the per-doc rollup (three balanced, combinable shuffles; no
+         join-back, no broadcast of an unbounded dup set).
+
+    Output: (doc_id, n_windows, n_dup_windows, dup_frac) — a window is
+    "dup" when its span appears in >= 2 DISTINCT documents. 64-bit
+    span-hash collisions are negligible at bench scale and the value
+    is representation-independent (same argument as ngram_jaccard's
+    hashed grams); the DuckDB oracle groups the literal strings.
+    """
+    from pyspark.sql.window import Window
+
+    w = int(window)
+    toks = tokens_expr(text_col)
+    # guard short docs explicitly: sequence(1, 0) would count DOWN
+    starts = F.when(
+        F.size(toks) >= w, F.sequence(F.lit(1), F.size(toks) - (w - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        starts,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, w))),
+    )
+    per_win = docs.select(
+        F.col(id_col), F.explode(spans).alias("whash")
+    )
+    per_doc_hash = per_win.groupBy("whash", id_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("whash"))
+    flagged = per_doc_hash.withColumn("_nd", nd)
+    dup_c = F.sum(F.when(F.col("_nd") >= 2, F.col("_c")).otherwise(F.lit(0)))
+    return flagged.groupBy(id_col).agg(
+        F.sum("_c").alias("n_windows"),
+        dup_c.alias("n_dup_windows"),
+        F.round(
+            (dup_c / F.sum("_c").cast("double")), 6
+        ).alias("dup_frac"),
+    )

@@ -112,3 +112,30 @@ def test_ivf_ann_recall(spark):
     ivf = {r.vec_id for r in ivf_ann_topk(emb, qvec, k=20, nlist=8, nprobe=3).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_duplicate_spans_cross_doc(spark):
+    """Substring-level dedup: windows shared across docs are flagged;
+    within-doc repeats alone are not; short docs emit nothing."""
+    from geotools_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),        # 3 windows of 8
+            (2, "x a b c d e f g h i"),        # shares windows with 1
+            (3, "p q r s t u v w"),            # unique single window
+            (4, "m m m m m m m m m"),          # within-doc repeat only
+            (5, "too short"),                  # no window
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_spans(docs, window=8).collect()}
+    assert 5 not in out
+    # doc1 windows: [a..h],[b..i],[c..j]; doc2: [x..g],[a..h],[b..i]
+    assert out[1].n_windows == 3 and out[1].n_dup_windows == 2
+    assert out[2].n_windows == 3 and out[2].n_dup_windows == 2
+    assert out[1].dup_frac == round(2 / 3, 6)
+    assert out[3].n_dup_windows == 0
+    # doc4: both windows are 'm m m m m m m m' (same span twice) but no
+    # OTHER doc carries it -> not cross-doc duplicated
+    assert out[4].n_windows == 2 and out[4].n_dup_windows == 0
