@@ -129,6 +129,82 @@ def write_cell_partitioned(
     return checkpointed_write(spread, path, part_col="cell_part", run_id=run_id)
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    *,
+    run_id: str,
+    target_files: int = 1,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction for a checkpointed table — the Iceberg
+    ``rewrite_data_files`` analogue. Incremental appends (many runs,
+    AQE-coalesced tasks, stragglers) leave partitions with piles of
+    small parquet files; at 10^12 docs that turns every scan into a
+    footer-read storm and defeats row-group pruning. Each partition
+    with more than ``min_files`` data files is rewritten into
+    ``target_files`` file(s); logical content is untouched (row-count
+    verified per partition before the swap), the manifest records the
+    compaction run, and lineage gains one row per rewritten partition.
+
+    Like ``rewrite_data_files`` + ``expire_snapshots`` in one step:
+    earlier snapshots keep their LOGICAL visibility (``as_of_run``
+    filters on partition keys, which compaction never changes) but
+    re-read the rewritten files. The directory swap is best-effort
+    atomic per partition (write aside, verify, replace) — a real
+    Iceberg catalog would commit this as a metadata-only snapshot.
+    """
+    import shutil
+
+    summary = {"run_id": run_id, "compaction": True, "partitions": 0,
+               "files_before": 0, "files_after": 0, "rows": 0}
+    lineage_rows = []
+    for entry in sorted(os.listdir(path)):
+        part_dir = os.path.join(path, entry)
+        if "=" not in entry or not os.path.isdir(part_dir):
+            continue
+        files = [f for f in os.listdir(part_dir)
+                 if f.endswith(".parquet") and not f.startswith((".", "_"))]
+        if len(files) < int(min_files) or len(files) <= int(target_files):
+            continue
+        t0 = time.time()
+        part = spark.read.parquet(part_dir)
+        n_before = part.count()
+        tmp = os.path.join(path, f"_compacting_{entry.replace('=', '_')}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        part.coalesce(int(target_files)).write.mode("overwrite").parquet(tmp)
+        n_after = spark.read.parquet(tmp).count()
+        if n_after != n_before:  # never swap in a bad rewrite
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction row-count mismatch in {entry}: {n_before} -> {n_after}"
+            )
+        shutil.rmtree(part_dir)
+        os.replace(tmp, part_dir)
+        new_files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        summary["partitions"] += 1
+        summary["files_before"] += len(files)
+        summary["files_after"] += len(new_files)
+        summary["rows"] += n_before
+        lineage_rows.append(
+            (run_id, entry.split("=", 1)[1], int(n_before),
+             float(time.time() - t0), time.time())
+        )
+
+    if lineage_rows:
+        spark.createDataFrame(
+            lineage_rows,
+            "run_id string, part_key string, rows long, wall_s double, ts double",
+        ).coalesce(1).write.mode("append").parquet(os.path.join(path, "_lineage"))
+    manifest = read_manifest(path)
+    manifest["runs"].append({**summary, "ts": time.time()})
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, _manifest_path(path))
+    return summary
+
+
 def read_lineage(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "_lineage"))
 

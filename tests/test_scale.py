@@ -175,6 +175,55 @@ def test_partition_pruning_on_checkpointed_table(spark, tmp_path, skewed_cells):
     assert rd.count() == grid.filter(F.col("part_key") == 1).count()
 
 
+def test_compact_partitions(spark, tmp_path, skewed_cells):
+    """Small-file compaction: per-partition file piles collapse to one
+    file, logical content is bit-identical, the manifest records the
+    compaction run, and time travel still works."""
+    import os
+
+    path = str(tmp_path / "compact")
+    grid = cell_stats(skewed_cells, stats=("count", "mean"), res=1.0).withColumn(
+        "part_key", (F.col("cell_col") / 16).cast("int")
+    )
+    # force many small files per partition
+    lineage.checkpointed_write(
+        grid.repartition(8), path, part_col="part_key", run_id="w1"
+    )
+    before = {r.part_key: r for r in lineage.read_table(spark, path).collect()}
+
+    def files_of(part):
+        d = os.path.join(path, f"part_key={part}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    parts = sorted(
+        int(d.split("=")[1]) for d in os.listdir(path) if d.startswith("part_key=")
+    )
+    assert any(len(files_of(p)) > 1 for p in parts)  # fixture really is fragmented
+
+    res = lineage.compact_partitions(spark, path, run_id="c1", target_files=1)
+    assert res["partitions"] >= 1
+    assert res["files_after"] == res["partitions"]  # one file each
+    for p in parts:
+        if len(files_of(p)) > 1:
+            raise AssertionError(f"partition {p} still fragmented")
+    after = {r.part_key: r for r in lineage.read_table(spark, path).collect()}
+    assert set(before) == set(after)
+    for k, b in before.items():
+        a = after[k]
+        assert (a["count"], a["mean"]) == (b["count"], b["mean"]), k
+    # manifest + lineage record the compaction; resume semantics intact
+    m = lineage.read_manifest(path)
+    assert any(r.get("compaction") for r in m["runs"])
+    lin = lineage.read_lineage(spark, path)
+    assert lin.filter(F.col("run_id") == "c1").count() == res["partitions"]
+    # a re-write run still skips everything (completed map untouched)
+    r2 = lineage.checkpointed_write(grid, path, part_col="part_key", run_id="w2")
+    assert r2["rows"] == 0
+    # idempotent: second compaction finds nothing to do
+    res2 = lineage.compact_partitions(spark, path, run_id="c2", target_files=1)
+    assert res2["partitions"] == 0
+
+
 def test_time_travel_read(spark, tmp_path, skewed_cells):
     """as_of_run exposes only partitions committed by runs <= the
     snapshot — the Iceberg snapshot-read analogue."""
