@@ -129,3 +129,15 @@ def test_checkpointed_table_partition_pruning(spark, tmp_path):
     # the partition filter lands in PartitionFilters, not a post-scan Filter
     assert "PartitionFilters" in plan
     assert "part_key" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+
+
+def test_dup_spans_plan_is_jvm_only_with_partial_aggs(spark):
+    """Substring dedup must stay in whole-stage codegen: span hashing
+    happens in the projection (no Python eval), the (hash, doc) agg is
+    partial+final (map-side combine on boilerplate), and no span
+    STRINGS reach a shuffle (exchanges carry the xxhash64 longs)."""
+    df = entry_mod.queries()["dup_spans"](spark, SF)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial" in plan.lower()
+    assert "xxhash64" in plan  # hash computed before the first exchange
