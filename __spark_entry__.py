@@ -26,6 +26,12 @@ from geotools_spark.testkit import derive
 
 SF0001 = "/root/testdata/sf0.001"
 
+# Synthetic-copy id offset for dedup fixtures: bit 62 set, so copies
+# can never collide with real doc_ids/vec_ids at ANY table size (the
+# old fixed +1e6 collided past 1M rows). The oracle SQL embeds the
+# literal 4611686018427387904 — keep them in sync.
+COPY_ID_OFFSET = 1 << 62
+
 GRID_STATS = (
     "count",
     "min",
@@ -437,7 +443,7 @@ def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") + COPY_ID_OFFSET).alias("doc_id"),
         F.concat(F.lit("copy "), F.col("text")).alias("text"),
     )
     out = duplicate_spans(docs.unionByName(dups), window=8)
@@ -448,7 +454,7 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.dedup import exact_dedup
 
     docs = _docs(spark, sf_dir)
-    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + COPY_ID_OFFSET))
     return exact_dedup(doubled).select("doc_id", "n_chars")
 
 
@@ -520,7 +526,7 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plant near-duplicates: re-add every 10th doc with a one-word prefix
     dups = (
         docs.filter(F.col("doc_id") % 10 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("doc_id", F.col("doc_id") + COPY_ID_OFFSET)
         .withColumn("text", F.concat(F.lit("dup "), F.col("text")))
     )
     return minhash_lsh_pairs(
@@ -535,7 +541,7 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     dups = (
         docs.filter(F.col("doc_id") % 10 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("doc_id", F.col("doc_id") + COPY_ID_OFFSET)
         .withColumn("text", F.concat(F.lit("dup "), F.col("text")))
     )
     return simhash_pairs(docs.unionByName(dups), max_hamming=6)
@@ -1158,7 +1164,7 @@ def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dups = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
-        "vec_id", F.col("vec_id") + 10_000_000
+        "vec_id", F.col("vec_id") + COPY_ID_OFFSET
     )
     return embedding_near_dup_pairs(
         emb.unionByName(dups), threshold=0.999
@@ -1426,7 +1432,7 @@ def oracle_sql() -> dict[str, str]:
     WITH docs AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000, 'copy ' || text FROM documents
+      SELECT doc_id + 4611686018427387904, 'copy ' || text FROM documents
       WHERE doc_id % 10 = 0),
     t AS (SELECT doc_id,
             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
@@ -1612,7 +1618,7 @@ def oracle_sql() -> dict[str, str]:
     WITH doubled AS (
       SELECT doc_id, text, n_chars FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text, n_chars FROM documents)
+      SELECT doc_id + 4611686018427387904 AS doc_id, text, n_chars FROM documents)
     SELECT doc_id, n_chars FROM doubled
     QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
     """
@@ -2347,7 +2353,7 @@ def oracle_sql() -> dict[str, str]:
     WITH docs AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000, 'dup ' || text FROM documents
+      SELECT doc_id + 4611686018427387904, 'dup ' || text FROM documents
       WHERE doc_id % 10 = 0),
     tok AS (SELECT doc_id,
             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
@@ -2390,7 +2396,7 @@ def oracle_sql() -> dict[str, str]:
     WITH docs AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000, 'dup ' || text FROM documents
+      SELECT doc_id + 4611686018427387904, 'dup ' || text FROM documents
       WHERE doc_id % 10 = 0),
     sh AS (SELECT doc_id, {_SH} AS shingles
            FROM (SELECT doc_id,
@@ -2413,7 +2419,7 @@ def oracle_sql() -> dict[str, str]:
     WITH emb AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + 10000000, embedding FROM embeddings
+      SELECT vec_id + 4611686018427387904, embedding FROM embeddings
       WHERE vec_id % 25 = 0)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine

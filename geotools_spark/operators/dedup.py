@@ -72,9 +72,23 @@ def jaccard_expr(a, b):
 
 
 def exact_dedup(docs: DataFrame, *, key: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id row per key (deterministic winner)."""
-    w = Window.partitionBy(key).orderBy(id_col)
-    return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    """Keep the lowest-id row per key (deterministic winner).
+
+    Shuffle-keyed on ``xxhash64(key)`` — an 8-byte partitioner/
+    comparator instead of the full document text (at 100 TB the
+    shuffle write would otherwise compare multi-KB strings). Exactness
+    is preserved by in-group verification: within each hash partition
+    rows sort by (key, id) and a row survives iff its key differs from
+    its predecessor's — 64-bit collisions land in the same partition
+    and are separated by the real key compare, never merged."""
+    kh = F.xxhash64(F.col(key))
+    w = Window.partitionBy(kh).orderBy(key, id_col)
+    prev = F.lag(key).over(w)
+    return (
+        docs.withColumn("_prev_key", prev)
+        .filter(F.col("_prev_key").isNull() | (F.col("_prev_key") != F.col(key)))
+        .drop("_prev_key")
+    )
 
 
 def shingle_sets(
@@ -411,9 +425,13 @@ def duplicate_spans(
          join-back, no broadcast of an unbounded dup set).
 
     Output: (doc_id, n_windows, n_dup_windows, dup_frac) — a window is
-    "dup" when its span appears in >= 2 DISTINCT documents. 64-bit
-    span-hash collisions are negligible at bench scale and the value
-    is representation-independent (same argument as ngram_jaccard's
+    "dup" when its span appears in >= 2 DISTINCT documents. Documents
+    with fewer than ``window`` tokens have no spans and are DROPPED
+    from the output (explode of an empty array), not emitted with
+    n_windows=0 — corpus-level duplication rates over all docs must
+    left-join this result back to the doc table. 64-bit span-hash
+    collisions are negligible at bench scale and the value is
+    representation-independent (same argument as ngram_jaccard's
     hashed grams); the DuckDB oracle groups the literal strings.
     """
     from pyspark.sql.window import Window

@@ -217,9 +217,12 @@ def video_payload_frames(df: DataFrame) -> DataFrame:
 
 
 def resize_image_meta(df: DataFrame, *, width: int, height: int) -> DataFrame:
-    """Resize as metadata transform (the real pixel resample happens in
-    the decode kernel at read time — standard lazy-media pattern):
-    rewrites meta and stamps the requested target. Pure column ops."""
+    """Stamp a resize TARGET into the metadata without touching the
+    payload — pure column ops, no decode. This records intent only;
+    the pixel work happens when a decode kernel that honours the
+    target runs (``resample_image_stats`` below does the actual
+    decode-time resample). Lazy-media pattern: at 10^12 docs you
+    rewrite 20 bytes of meta, not petabytes of payload."""
     new_meta = F.struct(
         F.lit(width).alias("width"),
         F.lit(height).alias("height"),
@@ -228,6 +231,60 @@ def resize_image_meta(df: DataFrame, *, width: int, height: int) -> DataFrame:
         F.col("meta.duration_ms").alias("duration_ms"),
     )
     return df.withColumn("meta", new_meta)
+
+
+def _bilinear_resample(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Vectorized bilinear resample of an (h, w, c) uint8 image to
+    (height, width, c) float64, pixel-center aligned (the GDAL
+    ``-r bilinear`` convention: src = (dst + 0.5) * scale - 0.5,
+    clamped at the edges)."""
+    h, w, _ = px.shape
+    ys = (np.arange(height, dtype=np.float64) + 0.5) * (h / height) - 0.5
+    xs = (np.arange(width, dtype=np.float64) + 0.5) * (w / width) - 0.5
+    ys = np.clip(ys, 0.0, h - 1.0)
+    xs = np.clip(xs, 0.0, w - 1.0)
+    y0 = np.floor(ys).astype(np.int64); y1 = np.minimum(y0 + 1, h - 1)
+    x0 = np.floor(xs).astype(np.int64); x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - fx) + p[y0][:, x1] * fx
+    bot = p[y1][:, x0] * (1 - fx) + p[y1][:, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def resample_image_stats(df: DataFrame, *, width: int, height: int) -> DataFrame:
+    """The REAL decode-time resample behind ``resize_image_meta``'s
+    stamped target: decode each image payload (PNG/TIFF), bilinear-
+    resample the actual pixels to (height, width), and emit per-channel
+    means of the RESAMPLED image plus the target dims. Arrow-batched
+    mapInPandas, narrow (no shuffle); payload bytes never leave the
+    task that decoded them."""
+    out_schema = (
+        "media_ref string, out_w int, out_h int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            refs, mr, mg, mb = [], [], [], []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                px = codecs.decode_image(bytes(payload))
+                rs = _bilinear_resample(px, width, height)
+                m = rs.reshape(-1, rs.shape[2]).mean(axis=0)
+                refs.append(ref)
+                mr.append(float(m[0])); mg.append(float(m[1])); mb.append(float(m[2]))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "out_w": np.full(len(refs), width, dtype=np.int32),
+                    "out_h": np.full(len(refs), height, dtype=np.int32),
+                    "mean_r": mr, "mean_g": mg, "mean_b": mb,
+                }
+            )
+
+    return df.mapInPandas(_decode, out_schema)
 
 
 def frame_sample(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:

@@ -290,7 +290,24 @@ def variogram_cloud(
 ) -> DataFrame:
     """J11/M12a: all-pairs variogram cloud (dist, gamma = (z0-z1)^2/2),
     identical coordinates skipped (src/interp/Interpolators.cpp:
-    104-121; both ordered pairs emitted, as the reference does)."""
+    104-121; both ordered pairs emitted, as the reference does).
+
+    The sample side is contract-small (the reference builds the cloud
+    from one tile's samples); a size probe guards the O(n^2) crossJoin
+    the same way collect_capped guards driver collects — a frame above
+    GEOTOOLS_SPARK_MAX_PAIR_ROWS (default 200k -> 4e10 ordered pairs)
+    raises instead of launching an all-pairs explosion."""
+    import os as _os
+
+    cap = int(_os.environ.get("GEOTOOLS_SPARK_MAX_PAIR_ROWS", "200000"))
+    probe = samples.limit(cap + 1).count()
+    if probe > cap:
+        raise ValueError(
+            f"variogram_cloud sample side exceeds the all-pairs cap "
+            f"({cap} rows): the O(n^2) cloud is meant for per-tile "
+            "sample sets; pre-filter/tile the samples or raise "
+            "GEOTOOLS_SPARK_MAX_PAIR_ROWS explicitly"
+        )
     a = samples.select(F.col(x).alias("ax"), F.col(y).alias("ay"), F.col(z).alias("az"))
     b = samples.select(F.col(x).alias("bx"), F.col(y).alias("by"), F.col(z).alias("bz"))
     j = a.crossJoin(b).filter(~((F.col("ax") == F.col("bx")) & (F.col("ay") == F.col("by")) & (F.col("az") == F.col("bz"))))

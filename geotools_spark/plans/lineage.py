@@ -150,15 +150,44 @@ def compact_partitions(
     Like ``rewrite_data_files`` + ``expire_snapshots`` in one step:
     earlier snapshots keep their LOGICAL visibility (``as_of_run``
     filters on partition keys, which compaction never changes) but
-    re-read the rewritten files. The directory swap is best-effort
-    atomic per partition (write aside, verify, replace) — a real
-    Iceberg catalog would commit this as a metadata-only snapshot.
+    re-read the rewritten files. The per-partition swap is ordered so
+    data is never absent: the live dir is renamed aside FIRST
+    (``<part>.old``), the verified rewrite moves into place, and only
+    then is the old copy deleted — a crash at any point leaves either
+    the original or the rewrite readable under a recoverable name (a
+    leftover ``.old`` next to a live dir just means the delete didn't
+    run; remove it). A real Iceberg catalog would commit this as a
+    metadata-only snapshot.
+
+    Local-filesystem only (os/shutil path manipulation, same as the
+    manifest handling above): ``path`` must be a plain directory path.
+    Checkpointed tables written to hdfs:// or s3a:// URIs can be read
+    and appended by the Spark paths in this module but not compacted
+    here — raise early rather than failing obscurely mid-swap.
     """
     import shutil
+
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact_partitions is local-filesystem-only, got {path!r}"
+        )
+    path = path.removeprefix("file://")
 
     summary = {"run_id": run_id, "compaction": True, "partitions": 0,
                "files_before": 0, "files_after": 0, "rows": 0}
     lineage_rows = []
+    # recovery pass: a prior crash can leave <part>.old (original moved
+    # aside) with or without a live dir. Live dir present -> the swap
+    # finished, drop the old copy; absent -> restore the original.
+    for entry in sorted(os.listdir(path)):
+        if not entry.endswith(".old"):
+            continue
+        old_dir = os.path.join(path, entry)
+        live = old_dir[: -len(".old")]
+        if os.path.isdir(live):
+            shutil.rmtree(old_dir)
+        else:
+            os.replace(old_dir, live)
     for entry in sorted(os.listdir(path)):
         part_dir = os.path.join(path, entry)
         if "=" not in entry or not os.path.isdir(part_dir):
@@ -179,8 +208,11 @@ def compact_partitions(
             raise RuntimeError(
                 f"compaction row-count mismatch in {entry}: {n_before} -> {n_after}"
             )
-        shutil.rmtree(part_dir)
-        os.replace(tmp, part_dir)
+        old = part_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)  # stale leftover from a crash
+        os.replace(part_dir, old)   # live data stays readable under .old
+        os.replace(tmp, part_dir)   # verified rewrite becomes live
+        shutil.rmtree(old)          # only now is the original gone
         new_files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
         summary["partitions"] += 1
         summary["files_before"] += len(files)

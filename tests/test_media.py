@@ -205,6 +205,39 @@ def test_resize_rewrites_meta_only(spark, media):
         assert len(r.payload) == before[r.media_ref]  # payload untouched
 
 
+def test_resample_image_stats_real_pixels(spark, media):
+    """The decode-time resample behind the stamped target: per-channel
+    means of the bilinear-resampled ACTUAL pixels, checked against an
+    independent per-pixel NumPy loop on the decoded source image."""
+    from geotools_spark.operators.media import resample_image_stats
+
+    tw, th = 16, 12
+    out = {r.media_ref: r for r in resample_image_stats(media, width=tw, height=th).collect()}
+    imgs = media.filter("kind = 'image'").collect()
+    assert set(out) == {r.media_ref for r in imgs}
+    for r in imgs:
+        px = codecs.decode_image(bytes(r.payload)).astype(np.float64)
+        h, w, _ = px.shape
+        acc = np.zeros(3)
+        for yo in range(th):
+            for xo in range(tw):
+                ys = min(max((yo + 0.5) * h / th - 0.5, 0.0), h - 1.0)
+                xs = min(max((xo + 0.5) * w / tw - 0.5, 0.0), w - 1.0)
+                y0, x0 = int(ys), int(xs)
+                y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                fy, fx = ys - y0, xs - x0
+                acc += (
+                    px[y0, x0] * (1 - fy) * (1 - fx)
+                    + px[y0, x1] * (1 - fy) * fx
+                    + px[y1, x0] * fy * (1 - fx)
+                    + px[y1, x1] * fy * fx
+                )
+        exp = acc / (tw * th)
+        got = out[r.media_ref]
+        assert (got.out_w, got.out_h) == (tw, th)
+        np.testing.assert_allclose([got.mean_r, got.mean_g, got.mean_b], exp, rtol=1e-12)
+
+
 def test_frame_sample_counts(spark, media):
     out = frame_sample(media, every_ms=500)
     got = {r[0]: r[1] for r in out.groupBy("media_ref").count().collect()}

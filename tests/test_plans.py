@@ -131,6 +131,27 @@ def test_checkpointed_table_partition_pruning(spark, tmp_path):
     assert "part_key" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
 
 
+def test_exact_dedup_shuffles_on_hash_not_text(spark):
+    """exact_dedup's window Exchange must partition on xxhash64(text)
+    (8-byte comparator), never on the raw document text — at 100 TB
+    the shuffle would otherwise hash/compare multi-KB strings."""
+    from geotools_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(exact_dedup(docs))
+    import re
+
+    ex = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+    assert ex, plan
+    assert "xxhash64(text" in plan  # the key is computed pre-shuffle
+    for ln in ex:
+        # key is the projected 8-byte long (_w0#..L), never raw text
+        m = re.search(r"hashpartitioning\((\w+)#\d+(L?)", ln)
+        assert m and m.group(1) != "text" and m.group(2) == "L", ln
+    # still JVM-only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_dup_spans_plan_is_jvm_only_with_partial_aggs(spark):
     """Substring dedup must stay in whole-stage codegen: span hashing
     happens in the projection (no Python eval), the (hash, doc) agg is

@@ -224,6 +224,39 @@ def test_compact_partitions(spark, tmp_path, skewed_cells):
     assert res2["partitions"] == 0
 
 
+def test_compact_crash_recovery(spark, tmp_path, skewed_cells):
+    """The swap order never leaves a partition absent: a crash that
+    moved the live dir to <part>.old (rewrite not yet in place) is
+    restored by the next compaction's recovery pass; a crash after the
+    swap (stale .old beside a live dir) is cleaned up. Non-local URIs
+    are rejected early."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "crash")
+    grid = cell_stats(skewed_cells, stats=("count",), res=1.0).withColumn(
+        "part_key", (F.col("cell_col") / 16).cast("int")
+    )
+    lineage.checkpointed_write(
+        grid.repartition(4), path, part_col="part_key", run_id="w1"
+    )
+    before = lineage.read_table(spark, path).count()
+    parts = sorted(d for d in os.listdir(path) if d.startswith("part_key="))
+    assert len(parts) >= 2
+    # crash type 1: live dir renamed aside, rewrite never landed
+    p0 = os.path.join(path, parts[0])
+    os.replace(p0, p0 + ".old")
+    # crash type 2: swap finished but old copy not deleted
+    p1 = os.path.join(path, parts[1])
+    shutil.copytree(p1, p1 + ".old")
+    lineage.compact_partitions(spark, path, run_id="c1", target_files=1)
+    assert not any(d.endswith(".old") for d in os.listdir(path))
+    assert os.path.isdir(p0)
+    assert lineage.read_table(spark, path).count() == before
+    with pytest.raises(ValueError, match="local-filesystem-only"):
+        lineage.compact_partitions(spark, "hdfs://nn/x", run_id="c2")
+
+
 def test_time_travel_read(spark, tmp_path, skewed_cells):
     """as_of_run exposes only partitions committed by runs <= the
     snapshot — the Iceberg snapshot-read analogue."""

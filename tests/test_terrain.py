@@ -203,6 +203,22 @@ def test_variogram_cloud(spark):
     assert all(r.gamma == pytest.approx((5.0 - 1.0) ** 2 / 2) for r in rows)
 
 
+def test_variogram_cloud_caps_oversized_side(spark, monkeypatch):
+    """The O(n^2) crossJoin is guarded like the driver collects: a
+    sample side above GEOTOOLS_SPARK_MAX_PAIR_ROWS raises instead of
+    launching an all-pairs explosion."""
+    monkeypatch.setenv("GEOTOOLS_SPARK_MAX_PAIR_ROWS", "10")
+    big = spark.range(11).selectExpr(
+        "cast(id as double) x", "cast(id as double) y", "cast(id as double) z"
+    )
+    with pytest.raises(ValueError, match="all-pairs cap"):
+        variogram_cloud(big)
+    ok = spark.range(10).selectExpr(
+        "cast(id as double) x", "cast(0.0 as double) y", "cast(id as double) z"
+    )
+    assert variogram_cloud(ok).count() == 90  # both ordered pairs
+
+
 def test_simple_kriging_exact_at_samples_and_mean_far_away(spark):
     pts = [(0.0, 0.0, 10.0), (10.0, 0.0, 20.0), (0.0, 10.0, 30.0), (10.0, 10.0, 40.0)]
     samples = spark.createDataFrame(pts, "x double, y double, z double")
