@@ -1004,25 +1004,14 @@ def _q_class_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_flight_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: sessionize the cls=0 time stream into flight segments (gap
     rule, src/lasreclass.cpp:344-358), then interval-join every point
-    to its segment (0 = no line). Output: per-line point counts."""
-    from pyspark.sql.window import Window
-
-    from geotools_spark.operators.reclass import assign_flight_line
+    to its segment (0 = no line). Output: per-line point counts.
+    Segment derivation is bucketed (flight_segments) — per-bucket
+    lag/cumsum windows + a driver-side boundary merge of the tiny
+    interval list; no single-partition Exchange over the time stream."""
+    from geotools_spark.operators.reclass import assign_flight_line, flight_segments
 
     pts = derive.points_df(spark, sf_dir)
-    # segment side is the aggregated DISTINCT time stream — small by
-    # construction, so the single-partition window is intentional
-    times = pts.filter(F.col("cls") == 0).select("gps_time").distinct()
-    w = Window.orderBy("gps_time")
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev = F.lag("gps_time").over(w)
-    flag = F.when(prev.isNull() | ((F.col("gps_time") - prev) > 25.0), 1).otherwise(0)
-    segs = (
-        times.withColumn("sid", F.sum(flag).over(wsum))
-        .groupBy("sid")
-        .agg(F.min("gps_time").alias("m_start"), F.max("gps_time").alias("m_end"))
-        .select(F.col("sid").cast("long").alias("seg_id"), "m_start", "m_end")
-    )
+    segs = flight_segments(pts.filter(F.col("cls") == 0), gap=25.0)
     out = assign_flight_line(pts, segs)
     return out.groupBy("line_id").agg(
         F.count(F.lit(1)).alias("cnt"),

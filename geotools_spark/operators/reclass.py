@@ -52,6 +52,82 @@ def class_remap(points: DataFrame, mappings: Mapping[int, int], *, cls: str = "c
     return points.withColumn(cls, out.cast("int"))
 
 
+def bucketed_time_intervals(
+    points: DataFrame,
+    *,
+    t: str = "gps_time",
+    gap: float = 25.0,
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Distributed phase of ``flight_segments``: per-bucket gap
+    sessionization reduced to [min, max] intervals. All windows are
+    partitioned by the time bucket — no single-partition Exchange."""
+    from pyspark.sql.window import Window
+
+    bw = float(bucket_width) if bucket_width else 512.0 * float(gap)
+    b = F.floor(F.col(t) / bw)
+    w = Window.partitionBy("_b").orderBy(t)
+    prev = F.lag(t).over(w)
+    flag = F.when(prev.isNull() | ((F.col(t) - prev) > gap), 1).otherwise(0)
+    sid = F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        points.select(F.col(t))
+        .withColumn("_b", b)
+        .withColumn("_sid", sid)
+        .groupBy("_b", "_sid")
+        .agg(F.min(t).alias("m_start"), F.max(t).alias("m_end"))
+    )
+
+
+def flight_segments(
+    points: DataFrame,
+    *,
+    t: str = "gps_time",
+    gap: float = 25.0,
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Derive the flight-line segment list from a time stream by the
+    gap rule (new segment when the sorted-time gap exceeds ``gap`` —
+    src/lasreclass.cpp:344-358), WITHOUT a global sort.
+
+    Scale shape (the single-partition ``Window.orderBy(t)`` this
+    replaces would serialize the whole distinct-time stream through
+    one reducer at 100x):
+
+      1. bucket rows by ``floor(t / bucket_width)`` and sessionize
+         WITHIN buckets — per-bucket lag/cumsum windows, fully
+         parallel (duplicate times collapse into the same session, so
+         no global distinct is needed);
+      2. reduce each (bucket, session) to a [min, max] interval — the
+         surviving rows are O(true gaps + buckets), not O(points);
+      3. merge boundary-adjacent intervals (inter-bucket gap <= gap)
+         driver-side and number them 1..k in start order. The segment
+         list is driver-sized BY CONTRACT — ``assign_flight_line``
+         broadcasts it, and the reference linear-scans it in memory
+         (src/lasreclass.cpp:123-161) — and the collect goes through
+         ``collect_capped``, so a pathological input raises instead of
+         flooding the driver.
+
+    Returns (seg_id long, m_start double, m_end double) with seg_id
+    1-based in time order — identical output to the global-window
+    derivation, no single-partition Exchange anywhere in the plan.
+    """
+    from .sampling import collect_capped
+
+    local = bucketed_time_intervals(points, t=t, gap=gap, bucket_width=bucket_width)
+    rows = collect_capped(local, ["m_start", "m_end"], what="flight segment list")
+    merged: list[list[float]] = []
+    for s, e in sorted((r[0], r[1]) for r in rows):
+        if merged and s - merged[-1][1] <= gap:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    out = [(i + 1, s, e) for i, (s, e) in enumerate(merged)]
+    return points.sparkSession.createDataFrame(
+        out, "seg_id long, m_start double, m_end double"
+    )
+
+
 def assign_flight_line(
     points: DataFrame,
     segments: DataFrame,

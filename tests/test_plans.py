@@ -131,6 +131,18 @@ def test_checkpointed_table_partition_pruning(spark, tmp_path):
     assert "part_key" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
 
 
+def test_flight_segment_derivation_no_single_partition_exchange(spark):
+    """The flight-line segment build must never serialize the time
+    stream through one reducer: the sessionize windows are partitioned
+    by the time bucket, so no Exchange SinglePartition appears."""
+    from geotools_spark.operators.reclass import bucketed_time_intervals
+
+    pts = derive.points_df(spark, SF).filter(F.col("cls") == 0)
+    plan = plan_of(bucketed_time_intervals(pts, gap=25.0))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(_b" in plan  # per-bucket windows
+
+
 def test_exact_dedup_shuffles_on_hash_not_text(spark):
     """exact_dedup's window Exchange must partition on xxhash64(text)
     (8-byte comparator), never on the raw document text — at 100 TB

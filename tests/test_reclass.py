@@ -34,6 +34,30 @@ def test_assign_flight_line(spark):
     assert out == {0: 1, 1: 1, 2: 0, 3: 2}  # inclusive ends, 0 = no line
 
 
+def test_flight_segments_matches_global_gap_rule(spark):
+    """Bucketed derivation == the global sorted-gap rule, including
+    sessions that straddle bucket boundaries and duplicate times."""
+    from geotools_spark.operators.reclass import flight_segments
+
+    # gap rule 5.0, bucket width 10.0 -> several boundary-straddling runs
+    times = [0.0, 1.0, 1.0, 4.0, 8.5, 12.0, 14.0,   # one run across 0/10
+             31.0, 33.0,                            # isolated run in bucket 3
+             39.0, 41.0, 44.0, 58.0]                # run across 3/4; lone tail
+    df = spark.createDataFrame([(t,) for t in times], "gps_time double")
+    segs = sorted(
+        (r.seg_id, r.m_start, r.m_end)
+        for r in flight_segments(df, gap=5.0, bucket_width=10.0).collect()
+    )
+    # global rule: split where sorted gap > 5.0 (after 14: 17, after 33: 6)
+    assert segs == [(1, 0.0, 14.0), (2, 31.0, 33.0), (3, 39.0, 44.0), (4, 58.0, 58.0)]
+    # empty input -> empty segment frame with the contract schema
+    empty = flight_segments(df.filter("gps_time < -1"), gap=5.0)
+    assert empty.count() == 0
+    assert empty.schema.simpleString() == (
+        "struct<seg_id:bigint,m_start:double,m_end:double>"
+    )
+
+
 def _reference_recover_edges(xs, ys, ts, cls, limit=20, gap=0.4):
     """Literal transcription of recoverEdges (src/lasreclass.cpp:215-250)."""
     from collections import deque
