@@ -1320,7 +1320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral": _q_spectral,
         "flood_label": _q_flood_label,
         "spill_points": _q_spill_points,
-        "feather_alpha": _q_feather_alpha,
         "void_fill": _q_void_fill,
         "class_remap": _q_class_remap,
         "flight_lines": _q_flight_lines,
@@ -1332,17 +1331,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic": _q_mosaic,
         "loess": _q_loess,
         "embed_neardup": _q_embed_neardup,
-        # --- oracled past the 50-query driver cap (COVERAGE.md
-        # "Oracle coverage accounting"): smooth3_tiled is the tiled
-        # twin of the oracled smooth3; local_min is local_max with the
-        # comparator inverted; local_max itself is transitively
-        # hash-verified inside tree_crowns' oracle (its treetops CTE
-        # replays the same window-maxima rule). All three stay fully
-        # oracled here and pytest-pinned (test_raster.py); a
-        # >50-capable driver still hash-checks them. dup_spans is the
-        # round-3 substring-dedup addition — fully oracled (pytest
-        # test_oracle_parity hash-checks it every run). ---
+        # dup_spans promoted into the checked-50 (VERDICT r03 #9):
+        # the newest dedup modality should be driver-hash-checked
         "dup_spans": _q_dup_spans,
+        # --- oracled past the 50-query driver cap (COVERAGE.md
+        # "Oracle coverage accounting"): feather_alpha is the feather
+        # sub-stage of the oracled mosaic (mosaic = feather + blend
+        # replays the same alpha rule end-to-end); smooth3_tiled is the
+        # tiled twin of the oracled smooth3; local_min is local_max
+        # with the comparator inverted; local_max itself is
+        # transitively hash-verified inside tree_crowns' oracle (its
+        # treetops CTE replays the same window-maxima rule). All stay
+        # fully oracled here and pytest-pinned (test_raster.py /
+        # test_oracle_parity); a >50-capable driver still hash-checks
+        # them. ---
+        "feather_alpha": _q_feather_alpha,
         "smooth3_tiled": _q_smooth3_tiled,
         "local_min": _q_local_min,
         "local_max": _q_local_max,
