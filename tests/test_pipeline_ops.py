@@ -114,6 +114,38 @@ def test_ivf_ann_recall(spark):
     assert recall >= 0.5, recall
 
 
+def test_ivf_indexed_matches_in_memory(spark, tmp_path):
+    """The materialized cell-partitioned index serves the SAME top-k
+    as the in-memory IVF path (same quantizer seed), and the probe
+    scan prunes partitions: only nprobe of nlist cell dirs are read."""
+    import os
+
+    from pyspark.sql import functions as F
+    from geotools_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_ann_topk,
+        ivf_ann_topk_indexed,
+        ivf_probe_scan,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, nlist=8)
+    # every cell partition landed on disk
+    cells = {d for d in os.listdir(idx) if d.startswith("cell=")}
+    assert len(cells) == 8
+    mem = [(r.vec_id, round(r.cosine, 9)) for r in
+           ivf_ann_topk(emb, qvec, k=20, nlist=8, nprobe=3).collect()]
+    srv = [(r.vec_id, round(r.cosine, 9)) for r in
+           ivf_ann_topk_indexed(spark, idx, qvec, k=20, nprobe=3).collect()]
+    assert srv == mem
+    # the probe scan touches exactly nprobe cells' rows
+    cand, probes = ivf_probe_scan(spark, idx, qvec, nprobe=3)
+    assert len(probes) == 3
+    assert cand.select("cell").distinct().count() <= 3
+
+
 def test_duplicate_spans_cross_doc(spark):
     """Substring-level dedup: windows shared across docs are flagged;
     within-doc repeats alone are not; short docs emit nothing."""

@@ -131,6 +131,24 @@ def test_checkpointed_table_partition_pruning(spark, tmp_path):
     assert "part_key" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
 
 
+def test_ivf_probe_scan_hits_partition_filters(spark, tmp_path):
+    """The IVF serving scan must prune at file listing: the isin(cell)
+    probe filter lands in PartitionFilters on the parquet scan, not in
+    a post-scan Filter — at 100 TB this is the difference between
+    reading nprobe/nlist of the corpus and reading all of it."""
+    from geotools_spark.operators.similarity import build_ivf_index, ivf_probe_scan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, nlist=8)
+    cand, probes = ivf_probe_scan(spark, idx, qvec, nprobe=3)
+    plan = formatted(cand)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    assert "cell" in pf and "IN" in pf.upper(), pf
+
+
 def test_flight_segment_derivation_no_single_partition_exchange(spark):
     """The flight-line segment build must never serialize the time
     stream through one reducer: the sessionize windows are partitioned
