@@ -2276,6 +2276,7 @@ def oracle_sql() -> dict[str, str]:
     _k1_ctes, _k1_fin = xxh64_int_const_ctes(_k3_fin, 1, "hb", "hd", prefix="k1")
     _k5_ctes, _k5_fin = xxh64_int_const_ctes(_k1_fin, 5, "hb", "hsd", prefix="k5")
     _k6_ctes, _k6_fin = xxh64_int_const_ctes(_k5_fin, 6, "hb", "hnf", prefix="k6")
+    _k7_ctes, _k7_fin = xxh64_int_const_ctes(_k6_fin, 7, "hb", "hfm", prefix="k7")
     _media_prefix = f"""
     WITH ids AS (SELECT CAST(i AS BIGINT) AS id FROM generate_series(0, 4999) t(i)),
     spans AS (SELECT id, CAST(j AS BIGINT) AS i
@@ -2296,21 +2297,26 @@ def oracle_sql() -> dict[str, str]:
     {", ".join(_k1_ctes)},
     {", ".join(_k5_ctes)},
     {", ".join(_k6_ctes)},
+    {", ".join(_k7_ctes)},
     meta AS MATERIALIZED (SELECT media_ref,
       {pmod_signed('hb', 3)} AS kindix,
       {pmod_signed('hw', 48)} * 16 + 64 AS width,
       {pmod_signed('hh', 32)} * 16 + 64 AS height,
       ({pmod_signed('hd', 1000)} + 1) * 40 AS duration_ms,
       {pmod_signed('hsd', 256)} AS seed,
-      {pmod_signed('hnf', 5)} + 2 AS nf
-      FROM {_k6_fin})
+      {pmod_signed('hnf', 5)} + 2 AS nf,
+      {pmod_signed('hfm', 3)} AS fmt
+      FROM {_k7_fin})
     """
     sqls["media_decode"] = _media_prefix + """,
-    img AS (SELECT media_ref, width, height, seed FROM meta WHERE kindix = 0),
+    img AS (SELECT media_ref, width, height, seed, fmt FROM meta WHERE kindix = 0),
+    -- fmt 0/1 (PNG/TIFF): row gradient (seed + c + r) % 256;
+    -- fmt 2 (JPEG): block-flat variant (seed + c + 8*(r//8)) % 256 —
+    -- the content baseline JPEG round-trips exactly (sources/jpeg.py)
     rowsum AS (SELECT i.media_ref, i.height,
-                 SUM((i.seed + g.r) % 256)     AS s0,
-                 SUM((i.seed + 1 + g.r) % 256) AS s1,
-                 SUM((i.seed + 2 + g.r) % 256) AS s2
+                 SUM((i.seed + CASE WHEN i.fmt = 2 THEN (g.r // 8) * 8 ELSE g.r END) % 256)     AS s0,
+                 SUM((i.seed + 1 + CASE WHEN i.fmt = 2 THEN (g.r // 8) * 8 ELSE g.r END) % 256) AS s1,
+                 SUM((i.seed + 2 + CASE WHEN i.fmt = 2 THEN (g.r // 8) * 8 ELSE g.r END) % 256) AS s2
                FROM img i
                JOIN generate_series(0, 559) g(r) ON g.r < i.height
                GROUP BY i.media_ref, i.height)

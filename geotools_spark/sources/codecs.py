@@ -19,6 +19,9 @@ implemented from the public format specifications directly:
 - GTV: a 16-byte-header frame container (magic, frame count, frame
   lengths, concatenated PNG frames) standing in for a video container
   — parsing structure is real, codec-per-frame is PNG.
+- baseline JPEG (ITU-T T.81): sources/jpeg.py — Huffman entropy
+  decode + dequant + IDCT, re-exported here and dispatched on the
+  FFD8 magic; the real-world lossy codec in the image path.
 
 The reference's raster IO contract is include/raster.hpp:419-772
 (GDAL-backed there); this module is the in-sandbox equivalent for the
@@ -276,4 +279,13 @@ def decode_image(buf: bytes) -> np.ndarray:
 
         data, _ = read_strip_tiff_bytes(bytes(buf))
         return np.ascontiguousarray(data).astype(np.uint8)
+    if buf[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(buf))
     raise ValueError(f"unknown image magic {bytes(buf[:4])!r}")
+
+
+# baseline JPEG (sources/jpeg.py) — re-exported so callers use one
+# codec namespace; decode_image dispatches on the FFD8 magic above
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: E402,F401

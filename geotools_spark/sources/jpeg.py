@@ -1,0 +1,401 @@
+"""Pure-NumPy baseline JPEG (ITU-T T.81 sequential DCT) — the
+real-world lossy codec in the media decode path (VERDICT r03 #6; the
+reference's multi-format raster contract is GDAL-backed,
+include/raster.hpp:419-772).
+
+Scope (honest subset, like the other codecs in this package):
+
+- 8-bit baseline sequential (SOF0), Huffman entropy coding with the
+  Annex-K luminance table pair, one uniform quantization table.
+- 1 (gray) or 3 components, all 1x1 sampling (no chroma subsample),
+  and NO color transform: 3-component images are coded as R,G,B
+  planes directly (component ids 'R','G','B' — the de-facto RGB
+  convention; JFIF's YCbCr transform would make the synthetic-oracle
+  arithmetic irrational). The decoder rejects subsampled or
+  progressive streams with NotImplementedError rather than mis-decoding.
+- No restart markers.
+
+Exactness property used by the hash-gated oracle fixtures: a block
+whose 64 samples are CONSTANT has only a DC coefficient; with the
+uniform quant step q=1 the DC round-trips exactly and the IDCT of a
+DC-only block is exactly flat — so block-flat content (the jpeg
+variant of the synthetic gradient, constant within each 8-row band)
+survives encode->decode BIT-EXACTLY, and the DuckDB oracle can
+predict decoded statistics in closed form while Spark earns them by
+entropy-decoding real JPEG bytes. General content round-trips within
++/-1 per sample at q=1 (forward-DCT rounding), pinned by tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K (K.3.1/K.3.2) luminance Huffman tables: BITS = number of
+# codes per length 1..16, VALS = symbols in canonical order.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# zigzag scan order (T.81 Figure 5): _ZIGZAG[i] = raster index of the
+# i-th zigzag coefficient
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8x8 DCT-II basis: S = C @ s @ C.T, s = C.T @ S @ C
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = (
+            (np.sqrt(0.125) if _u == 0 else 0.5)
+            * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+        )
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) canonical assignment (T.81 C.2)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _canonical_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self._n -= 8
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, appended-bits) per T.81 F.1.2.1/F.1.2.2."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _to_blocks(chan: np.ndarray) -> np.ndarray:
+    """(h, w) -> (nby*nbx, 8, 8) with edge replication padding."""
+    h, w = chan.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        chan = np.pad(chan, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = chan.shape
+    return (
+        chan.reshape(hh // 8, 8, ww // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def encode_jpeg(arr: np.ndarray, *, quant: int = 1) -> bytes:
+    """Encode (h, w[, c]) uint8 (c in {1, 3}) -> baseline JPEG bytes
+    (RGB planes, no subsampling, uniform quant table)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError(f"unsupported channel count {c}")
+    q = int(quant)
+    qtab = np.full(64, q, dtype=np.int64)
+
+    # forward DCT + quantize, all blocks per channel at once
+    comps = []
+    for ci in range(c):
+        blocks = _to_blocks(arr[:, :, ci]).astype(np.float64) - 128.0
+        coef = np.einsum("ux,bxy,vy->buv", _C, blocks, _C)
+        coef = np.round(coef / q).astype(np.int64)
+        comps.append(coef.reshape(-1, 64)[:, _ZIGZAG])  # zigzag order
+
+    bw = _BitWriter()
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    pred = [0] * c
+    for bi in range(nby * nbx):  # interleaved MCU = 1 block/component
+        for ci in range(c):
+            zz = comps[ci][bi]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            size, extra = _magnitude(diff)
+            code, ln = _DC_ENC[size]
+            bw.put(code, ln)
+            if size:
+                bw.put(extra, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = _AC_ENC[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                size, extra = _magnitude(v)
+                code, ln = _AC_ENC[(run << 4) | size]
+                bw.put(code, ln)
+                bw.put(extra, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = _AC_ENC[0x00]  # EOB
+                bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    comp_ids = [0x52, 0x47, 0x42][:c] if c == 3 else [0x47]
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in qtab))
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, c)
+        + b"".join(struct.pack(">BBB", cid, 0x11, 0) for cid in comp_ids),
+    )
+    sos = seg(
+        0xFFDA,
+        struct.pack(">B", c)
+        + b"".join(struct.pack(">BB", cid, 0x00) for cid in comp_ids)
+        + struct.pack(">BBB", 0, 63, 0),
+    )
+    return (
+        b"\xff\xd8" + dqt + dht + sof + sos + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        while self._n <= 24:
+            if self.pos >= len(self.data):
+                self._acc = (self._acc << 8) | 0
+                self._n += 8
+                continue
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed FF
+                else:  # marker: entropy data ended, feed 1-bits
+                    self.pos -= 1
+                    self._acc = (self._acc << 8) | 0xFF
+                    self._n += 8
+                    continue
+            self._acc = (self._acc << 8) | b
+            self._n += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self._acc >> (self._n - n)) & ((1 << n) - 1)
+        self._n -= n
+        self._acc &= (1 << self._n) - 1
+        return v
+
+
+def _decode_tables(bits: list[int], vals: list[int]):
+    """(min_code, max_code, val_index) per length for canonical decode."""
+    dec = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if n:
+            dec[length] = (code, code + n - 1, k)
+            code += n
+            k += n
+        code <<= 1
+    return dec
+
+
+def _huff_decode(br: _BitReader, dec, vals: list[int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bits(1)
+        rng = dec.get(length)
+        if rng and rng[0] <= code <= rng[1]:
+            return vals[rng[2] + code - rng[0]]
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes -> uint8 (h, w, c). Subset guard:
+    progressive (SOF2), subsampled, restart-interval, or
+    arithmetic-coded streams raise NotImplementedError."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], tuple[dict, list[int]]] = {}
+    sof = None
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0xD9):
+            continue
+        (seglen,) = struct.unpack_from(">H", buf, pos)
+        payload = buf[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                p += 1
+                if pq:
+                    raise NotImplementedError("16-bit quant tables")
+                qtabs[tq] = np.frombuffer(
+                    payload[p : p + 64], dtype=np.uint8
+                ).astype(np.int64)
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                p += 1
+                bits = list(payload[p : p + 16])
+                p += 16
+                nv = sum(bits)
+                vals = list(payload[p : p + nv])
+                p += nv
+                htabs[(tc, th)] = (_decode_tables(bits, vals), vals)
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise NotImplementedError("non-8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", payload, 6 + 3 * i)
+                if samp != 0x11:
+                    raise NotImplementedError("subsampled components")
+                comps.append((cid, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("non-baseline SOF")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:  # SOS: entropy data follows
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            ns = payload[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
+                scan.append((cs, tt >> 4, tt & 0xF))
+            h, w, comps = sof
+            nbx, nby = (w + 7) // 8, (h + 7) // 8
+            br = _BitReader(buf[pos + seglen :])
+            planes = [
+                np.zeros((nby * 8, nbx * 8), dtype=np.float64) for _ in comps
+            ]
+            pred = [0] * len(comps)
+            qt = [qtabs[tq] for _, tq in comps]
+            zz = np.zeros(64, dtype=np.int64)
+            for by in range(nby):
+                for bx in range(nbx):
+                    for ci, (_cid, td, ta) in enumerate(scan):
+                        dcd, dcv = htabs[(0, td)]
+                        acd, acv = htabs[(1, ta)]
+                        zz[:] = 0
+                        size = _huff_decode(br, dcd, dcv)
+                        diff = _extend(br.bits(size), size) if size else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = _huff_decode(br, acd, acv)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overrun")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz * qt[ci]
+                        blk = _C.T @ coef.reshape(8, 8) @ _C + 128.0
+                        planes[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = blk
+            out = np.stack(
+                [np.clip(np.round(p[:h, :w]), 0, 255) for p in planes], axis=2
+            ).astype(np.uint8)
+            return out
+        pos += seglen
+    raise ValueError("no scan data found")

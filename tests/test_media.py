@@ -128,6 +128,51 @@ def test_gtv_round_trip():
     assert codecs.decode_gtv(codecs.encode_gtv(frames)) == frames
 
 
+def test_jpeg_blockflat_round_trip_exact():
+    """Block-flat content (every 8x8 block constant) has DC-only
+    spectra, so baseline JPEG at quant=1 round-trips BIT-EXACTLY —
+    the property the hash-gated media oracle relies on."""
+    from geotools_spark.operators.media import _blockflat_pixels
+
+    for seed, (h, w) in [(0, (8, 8)), (37, (48, 80)), (200, (56, 24)), (255, (13, 21))]:
+        px = _blockflat_pixels(seed, w, h)
+        out = codecs.decode_jpeg(codecs.encode_jpeg(px, quant=1))
+        assert np.array_equal(out, px), (seed, h, w)
+
+
+def test_jpeg_general_content_and_entropy_paths():
+    """Arbitrary content exercises the AC run-length/ZRL/EOB entropy
+    paths: round trip within +/-1 at quant=1 (forward-DCT rounding),
+    gray + non-multiple-of-8 dims crop correctly, and a lossy quant
+    table still decodes to something close."""
+    rs = np.random.RandomState(5)
+    img = rs.randint(0, 256, (40, 56, 3)).astype(np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(img, quant=1))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    g = rs.randint(0, 256, (19, 33)).astype(np.uint8)
+    og = codecs.decode_jpeg(codecs.encode_jpeg(g, quant=1))
+    assert og.shape == (19, 33, 1)
+    assert np.abs(og[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+    lossy = codecs.decode_jpeg(codecs.encode_jpeg(img, quant=16))
+    assert lossy.shape == img.shape
+    assert np.abs(lossy.astype(np.float64) - img).mean() < 8.0
+    # magic dispatch reaches the JPEG decoder
+    assert np.array_equal(codecs.decode_image(codecs.encode_jpeg(img, quant=1)), out)
+
+
+def test_jpeg_subset_guards():
+    """Spec features outside the baseline subset fail loudly, never
+    mis-decode (same contract as the other codecs' guards)."""
+    img = np.zeros((8, 8, 3), np.uint8)
+    buf = bytearray(codecs.encode_jpeg(img))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        codecs.decode_jpeg(bytes(buf))
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.decode_jpeg(b"\x00\x01")
+
+
 # ---------------------------------------------------------- operators
 
 
@@ -136,7 +181,7 @@ def test_media_schema_and_determinism(spark, media):
     assert len(rows) > 10
     kinds = {r.kind for r in rows}
     assert kinds == {"image", "audio", "video"}
-    magics = {"image": (b"\x89PNG", b"II*\x00"), "audio": (b"RIFF",), "video": (b"GTV1",)}
+    magics = {"image": (b"\x89PNG", b"II*\x00", b"\xff\xd8\xff"), "audio": (b"RIFF",), "video": (b"GTV1",)}
     for r in rows:
         head = bytes(r.payload[:4])
         assert any(head.startswith(m[: len(head)]) for m in magics[r.kind]), (r.kind, head)
@@ -145,9 +190,9 @@ def test_media_schema_and_determinism(spark, media):
     again = {r.media_ref: bytes(r.payload) for r in media.collect()}
     for r in rows:
         assert again[r.media_ref] == bytes(r.payload)
-    # both image formats actually occur (hash-chosen PNG vs TIFF)
+    # all three image formats actually occur (hash-chosen PNG/TIFF/JPEG)
     img_magics = {bytes(r.payload[:2]) for r in rows if r.kind == "image"}
-    assert img_magics == {b"\x89P", b"II"}
+    assert img_magics == {b"\x89P", b"II", b"\xff\xd8"}
 
 
 def test_decode_image_stats_matches_closed_form(spark, media):

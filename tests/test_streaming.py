@@ -190,3 +190,77 @@ def test_flagship_grid_stream_matches_batch(spark, tmp_path):
         gcn, gmn, gmx, gme = got[k]
         assert gcn == cn and gmn == mn and gmx == mx, k
         assert abs(gme - me) < 1e-9, k
+
+
+def test_direction_flip_stream_matches_batch(spark, tmp_path):
+    """W8 as a stateful stream: the queue automaton advances per
+    micro-batch via applyInPandasWithState keyed by line, and a flip
+    whose 40-point span STRADDLES a batch boundary reclasses points
+    that arrived in an earlier batch — per-point class parity with the
+    batch operator, multi-batch state carry-over asserted."""
+    import numpy as np
+
+    from geotools_spark.operators.reclass import direction_flip_reclass
+    from geotools_spark.streaming.flips import direction_flip_stream
+
+    # two lines, each a straight east flight that U-turns at flip_at
+    def path(n, flip_at):
+        xs, x = [], 0.0
+        for i in range(n):
+            x += 1.0 if i < flip_at else -1.0
+            xs.append(x)
+        ys = [float(i % 3) * 0.01 for i in range(n)]
+        ts = [100.0 + i * 0.01 for i in range(n)]
+        return xs, ys, ts
+
+    rows = []
+    for line, flip_at in ((1, 100), (2, 60)):
+        xs, ys, ts = path(200, flip_at)
+        for i in range(200):
+            rows.append((line, line * 1000 + i, ts[i], xs[i], ys[i], 1))
+    schema = "line_id long, pid long, gps_time double, x double, y double, cls int"
+    batch_df = spark.createDataFrame(rows, schema)
+    want = {
+        r.pid: r.cls
+        for r in direction_flip_reclass(batch_df, line="line_id").collect()
+    }
+    assert sum(c == 31 for c in want.values()) >= 80  # both U-turns flagged
+
+    # split so line 1's flip span [61..100] straddles files a/b:
+    # file order = batch order under maxFilesPerTrigger=1
+    src = str(tmp_path / "pts")
+    by_t = sorted(rows, key=lambda r: r[2])
+    cut1, cut2 = len(by_t) // 3, 2 * len(by_t) // 3
+    for name, chunk in (("a", by_t[:cut1]), ("b", by_t[cut1:cut2]), ("c", by_t[cut2:])):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(f"{src}/{name}")
+    # sentinel per line far past the end: forces the trailing flush so
+    # every REAL point is decided (gap rule), sentinel stays in state
+    sent = [(line, -line, 1e9 + line, 0.0, 0.0, 1) for line in (1, 2)]
+    spark.createDataFrame(sent, schema).coalesce(1).write.parquet(f"{src}/d")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        direction_flip_stream(stream)
+        .writeStream.format("memory")
+        .queryName("flips_st")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_flips"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progress) >= 3, [p["numInputRows"] for p in q.recentProgress]
+    got_rows = spark.sql("select * from flips_st").collect()
+    got = {r.pid: r.cls for r in got_rows if r.pid >= 0}
+    assert got == want  # exact per-point class parity, sentinels excluded
+    # the flip span crossed a batch boundary: some 31-classed points
+    # arrived in an earlier batch than the one that emitted them
+    first_batch_rows = cut1
+    early_31 = [p for p, c in got.items() if c == 31 and
+                any(r[1] == p for r in by_t[:first_batch_rows])]
+    assert early_31, "flip span did not straddle the batch boundary"
