@@ -548,8 +548,10 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k; rows-only driver check (recall vs exact
-    covered by tests/test_similarity.py)."""
+    """LSH-bucketed ANN top-k — fully ORACLED (round 4): the seeded
+    hyperplanes are constants, so the oracle replays bucket assignment
+    (sign-bit literals), the hamming<=2 multi-probe set, and the exact
+    cosine top-k; recall vs exact additionally pinned in tests."""
     from geotools_spark.operators.similarity import lsh_ann_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1366,8 +1368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth3_tiled": _q_smooth3_tiled,
         "local_min": _q_local_min,
         "local_max": _q_local_max,
+        "ann_lsh": _q_ann_lsh,  # oracled r04: plane literals + hamming<=2
         # --- rows-only (approximate / stateful / non-SQL-expressible) ---
-        "ann_lsh": _q_ann_lsh,
         "rastfit": _q_rastfit,
         "csrs_transform": _q_csrs_transform,
         "kriging": _q_kriging,
@@ -2733,6 +2735,48 @@ def oracle_sql() -> dict[str, str]:
     SELECT cell_col, cell_row,
            ROUND(b1, 6) AS band1, ROUND(b2, 6) AS band2, ROUND(b3, 6) AS band3
     FROM agg WHERE b3 >= 2
+    """
+
+    # ann_lsh ORACLED (round 4): the sign-bit hyperplanes are
+    # deterministic constants (hyperplanes(64, 6, seed=7)), so they
+    # embed as SQL literals; the multi-probe set {qbucket} U 1-flips U
+    # 2-flips is exactly hamming(bucket, qbucket) <= 2. The oracle
+    # replays bucket assignment, probe filter, exact cosine and the
+    # (cosine desc, id) top-k rank — a representation-exact hash check
+    # on the full approximate pipeline. Sign flips from cross-engine
+    # summation-order ulps would need |plane . v| ~ 1e-12 (dots are
+    # O(1)); not observed at any SF.
+    from geotools_spark.operators.similarity import hyperplanes as _hp
+
+    _planes = _hp(64, 6, seed=7)
+
+    def _bucket_sql(vec: str) -> str:
+        terms = []
+        for b in range(6):
+            lit = "[" + ",".join(repr(float(v)) for v in _planes[b]) + "]"
+            terms.append(
+                f"(CASE WHEN list_sum([CAST({vec}[i] AS DOUBLE) * ({lit})[i] "
+                f"FOR i IN range(1, 65)]) > 0 THEN {1 << b} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    sqls["ann_lsh"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT ({_bucket_sql('q.qv')}) AS qbucket FROM q),
+    eb AS (SELECT e.vec_id, e.embedding,
+                  ({_bucket_sql('e.embedding')}) AS bucket
+           FROM embeddings e),
+    cand AS (SELECT eb.vec_id, eb.embedding FROM eb, qb
+             WHERE bit_count(xor(CAST(bucket AS BIGINT),
+                                 CAST(qbucket AS BIGINT))) <= 2),
+    scored AS (SELECT e.vec_id,
+                      ROUND({dot} / ({enorm} * {qnorm}), 6) AS cosine
+               FROM cand e, q),
+    ranked AS (SELECT vec_id, cosine,
+                      CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id)
+                           AS INTEGER) AS rank
+               FROM scored)
+    SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 20
     """
 
     return sqls

@@ -23,8 +23,6 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the process's FIRST JVM launch, so the default is set before any
 # session starts (explicit SPARK_GRAFT_DRIVER_MEM still wins).
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "32000000"))
-if N_BENCH_DOCS > 8_000_000:
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
 
 # Timing rule (uniform — ADVICE r03): EVERY query is timed min-of-2,
 # and gets a third shot when the two disagree by more than
@@ -276,37 +274,38 @@ def main() -> None:
             shots.append(time.perf_counter() - t0)
         timings[name] = round(min(shots), 3)
 
-    # Headline docs/sec metric on the interleaved table.  The regime at
-    # 10^12 docs is a SCAN of the stored Iceberg/parquet table feeding
-    # the pipeline — so the one-time table build (synthetic generation +
-    # snapshot write) happens OUTSIDE the timed window, exactly as table
-    # ingestion would on a real cluster.  Warm-up pass covers codegen +
-    # python-worker spin-up for this plan shape; min of 3 because the
-    # host shows bursty CPU steal (see BENCH.md).
-    import shutil
-    import tempfile
+    # Headline docs/sec metric: run in a SEPARATE subprocess. Two
+    # reasons (BENCH.md round-4 methodology): (1) the 32M-doc snapshot
+    # build needs an 8g driver heap while the query suite measures
+    # fastest at 4g, and heap is fixed at a process's first JVM; (2)
+    # a big-heap session accumulating 65 queries of state takes
+    # multi-second full-GC pauses that land inside whatever runs last
+    # — isolating the headline keeps both measurements clean.
+    # NOTE the snapshot-regime seconds are reported as
+    # "flagship_snapshot" — in rounds <= 3 they silently OVERWROTE
+    # queries["flagship_interleaved"], so that key's r01->r03 drift
+    # (2.24 -> 4.36 s) was the bench-doc count growing 1M -> 8M, not a
+    # regression; the 100k-doc query timing above is now kept.
+    flagship_sec, head = float("nan"), {}
+    if N_BENCH_DOCS > 0:
+        import subprocess
 
-    from geotools_spark.flagship import (
-        flagship_from_docs,
-        materialize_docs_snapshot,
-    )
-
-    snap_dir = tempfile.mkdtemp(prefix="flagship_docs_")
-    try:
-        docs = materialize_docs_snapshot(
-            spark, N_BENCH_DOCS, f"{snap_dir}/docs.parquet"
+        env = dict(os.environ, SPARK_GRAFT_FLAGSHIP_ONLY="1")
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1800,
         )
-        grid, tiles = flagship_from_docs(docs.limit(N_BENCH_DOCS // 20))
-        _materialize_both(grid, tiles)
-        flagship_sec = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            grid, tiles = flagship_from_docs(docs)
-            _materialize_both(grid, tiles)
-            flagship_sec = min(flagship_sec, time.perf_counter() - t0)
-        timings["flagship_interleaved"] = round(flagship_sec, 3)
-    finally:
-        shutil.rmtree(snap_dir, ignore_errors=True)
+        for ln in proc.stdout.splitlines():
+            if ln.startswith('{"flagship_sec"'):
+                head = json.loads(ln)
+        if "flagship_sec" not in head:
+            sys.stderr.write(
+                f"flagship subprocess failed:\n{proc.stderr[-2000:]}\n"
+            )
+            sys.exit(1)
+        flagship_sec = head["flagship_sec"]
+        timings["flagship_snapshot"] = flagship_sec
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -322,9 +321,48 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def flagship_main() -> None:
+    """Snapshot-regime headline, run in its own process (8g heap).
+    The regime at 10^12 docs is a SCAN of the stored Iceberg/parquet
+    table feeding the pipeline — the one-time table build (synthetic
+    generation + snapshot write, 8g + 32MB row groups) happens OUTSIDE
+    the timed window, exactly as table ingestion would on a real
+    cluster. Warm-up pass covers codegen + python-worker spin-up for
+    this plan shape; min of 3 because the host shows bursty CPU steal
+    (BENCH.md)."""
+    import shutil
+    import tempfile
+
+    from geotools_spark.flagship import (
+        flagship_from_docs,
+        materialize_docs_snapshot,
+    )
+    from geotools_spark.session import get_spark
+
+    spark = get_spark("geotools-spark-flagship")
+    snap_dir = tempfile.mkdtemp(prefix="flagship_docs_")
+    try:
+        docs = materialize_docs_snapshot(
+            spark, N_BENCH_DOCS, f"{snap_dir}/docs.parquet"
+        )
+        grid, tiles = flagship_from_docs(docs.limit(N_BENCH_DOCS // 20))
+        _materialize_both(grid, tiles)
+        flagship_sec = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            grid, tiles = flagship_from_docs(docs)
+            _materialize_both(grid, tiles)
+            flagship_sec = min(flagship_sec, time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)
+    print(json.dumps({"flagship_sec": round(flagship_sec, 3)}))
+
+
 if __name__ == "__main__":
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         scaling_main()
+    elif os.environ.get("SPARK_GRAFT_FLAGSHIP_ONLY") == "1":
+        flagship_main()
     else:
         main()
     sys.exit(0)
