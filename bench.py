@@ -292,6 +292,11 @@ def main() -> None:
 
         env = dict(os.environ, SPARK_GRAFT_FLAGSHIP_ONLY="1")
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+        # under spark-submit the child would otherwise attach to the
+        # PARENT's py4j gateway and collide with its SparkContext —
+        # strip the gateway coordinates so it launches its own JVM
+        for k in ("PYSPARK_GATEWAY_PORT", "PYSPARK_GATEWAY_SECRET"):
+            env.pop(k, None)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=1800,
