@@ -161,27 +161,41 @@ def encode_jpeg(arr: np.ndarray, *, quant: int = 1) -> bytes:
     comps = []
     for ci in range(c):
         blocks = _to_blocks(arr[:, :, ci]).astype(np.float64) - 128.0
-        coef = np.einsum("ux,bxy,vy->buv", _C, blocks, _C)
+        coef = np.matmul(_C, np.matmul(blocks, _C.T))  # batched S = C s C^T
         coef = np.round(coef / q).astype(np.int64)
         comps.append(coef.reshape(-1, 64)[:, _ZIGZAG])  # zigzag order
 
     bw = _BitWriter()
     nbx, nby = (w + 7) // 8, (h + 7) // 8
     pred = [0] * c
+    # per-component block lists + vectorized last-nonzero-AC index:
+    # the per-block numpy calls otherwise dominate encode time on
+    # flat-block fixtures (every AC zero -> last_nz 0, DC + EOB only)
+    rows = []
+    lasts = []
+    for ci in range(c):
+        zz_all = comps[ci]
+        nzmask = zz_all[:, 1:] != 0
+        has = nzmask.any(axis=1)
+        last = np.zeros(len(zz_all), dtype=np.int64)
+        if has.any():
+            last[has] = 63 - np.argmax(nzmask[has][:, ::-1], axis=1)
+        rows.append(zz_all.tolist())
+        lasts.append(last.tolist())
     for bi in range(nby * nbx):  # interleaved MCU = 1 block/component
         for ci in range(c):
-            zz = comps[ci][bi]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
+            zz = rows[ci][bi]
+            diff = zz[0] - pred[ci]
+            pred[ci] = zz[0]
             size, extra = _magnitude(diff)
             code, ln = _DC_ENC[size]
             bw.put(code, ln)
             if size:
                 bw.put(extra, size)
             run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            last_nz = lasts[ci][bi]
             for k in range(1, last_nz + 1):
-                v = int(zz[k])
+                v = zz[k]
                 if v == 0:
                     run += 1
                     continue
@@ -261,29 +275,44 @@ class _BitReader:
         self._acc &= (1 << self._n) - 1
         return v
 
+    def peek16(self) -> int:
+        self._fill()  # keeps >= 24 bits buffered (1-fill past the end)
+        return (self._acc >> (self._n - 16)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        self._n -= n
+        self._acc &= (1 << self._n) - 1
+
 
 def _decode_tables(bits: list[int], vals: list[int]):
-    """(min_code, max_code, val_index) per length for canonical decode."""
-    dec = {}
+    """16-bit lookup tables for one-shot canonical Huffman decode:
+    sym_lut[peek16] = symbol, len_lut[peek16] = code length (0 marks
+    an invalid prefix). JPEG codes are <= 16 bits, so a single peek
+    resolves any symbol — ~30x faster than bit-by-bit range walking
+    on the per-block hot path."""
+    sym_lut = np.zeros(1 << 16, dtype=np.int16)
+    len_lut = np.zeros(1 << 16, dtype=np.uint8)
     code, k = 0, 0
     for length in range(1, 17):
-        n = bits[length - 1]
-        if n:
-            dec[length] = (code, code + n - 1, k)
-            code += n
-            k += n
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            sym_lut[lo:hi] = vals[k]
+            len_lut[lo:hi] = length
+            code += 1
+            k += 1
         code <<= 1
-    return dec
+    return sym_lut.tolist(), len_lut.tolist()
 
 
 def _huff_decode(br: _BitReader, dec, vals: list[int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bits(1)
-        rng = dec.get(length)
-        if rng and rng[0] <= code <= rng[1]:
-            return vals[rng[2] + code - rng[0]]
-    raise ValueError("invalid Huffman code in entropy stream")
+    sym_lut, len_lut = dec
+    idx = br.peek16()
+    ln = len_lut[idx]
+    if ln == 0:
+        raise ValueError("invalid Huffman code in entropy stream")
+    br.consume(ln)
+    return sym_lut[idx]
 
 
 def _extend(v: int, size: int) -> int:
@@ -363,39 +392,56 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             pred = [0] * len(comps)
             qt = [qtabs[tq] for _, tq in comps]
             zz = np.zeros(64, dtype=np.int64)
+            c00 = _C[0, 0]
             for by in range(nby):
                 for bx in range(nbx):
                     for ci, (_cid, td, ta) in enumerate(scan):
                         dcd, dcv = htabs[(0, td)]
                         acd, acv = htabs[(1, ta)]
-                        zz[:] = 0
                         size = _huff_decode(br, dcd, dcv)
                         diff = _extend(br.bits(size), size) if size else 0
                         pred[ci] += diff
+                        rs = _huff_decode(br, acd, acv)
+                        if rs == 0x00:
+                            # DC-only block (EOB right after DC) — the
+                            # dominant case for flat content. Replicate
+                            # the full IDCT's exact float ops (every
+                            # element is (C00*dcq)*C00 + 128), so the
+                            # shortcut is bit-identical to the slow path
+                            dcq = float(pred[ci] * int(qt[ci][0]))
+                            planes[ci][
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = (c00 * dcq) * c00 + 128.0
+                            continue
+                        zz[:] = 0
                         zz[0] = pred[ci]
                         k = 1
-                        while k <= 63:
-                            rs = _huff_decode(br, acd, acv)
+                        while True:
                             r, s = rs >> 4, rs & 0xF
                             if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
+                                if r != 15:
+                                    break  # EOB
+                                k += 16  # ZRL
+                            else:
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC index overrun")
+                                zz[k] = _extend(br.bits(s), s)
+                                k += 1
                             if k > 63:
-                                raise ValueError("AC index overrun")
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
+                                break
+                            rs = _huff_decode(br, acd, acv)
                         coef = np.zeros(64, dtype=np.float64)
                         coef[_ZIGZAG] = zz * qt[ci]
                         blk = _C.T @ coef.reshape(8, 8) @ _C + 128.0
                         planes[ci][
                             by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
                         ] = blk
-            out = np.stack(
-                [np.clip(np.round(p[:h, :w]), 0, 255) for p in planes], axis=2
-            ).astype(np.uint8)
+            out = np.empty((h, w, len(comps)), dtype=np.uint8)
+            for ci, p in enumerate(planes):
+                t = np.rint(p[:h, :w])
+                np.clip(t, 0, 255, out=t)
+                out[:, :, ci] = t
             return out
         pos += seglen
     raise ValueError("no scan data found")
