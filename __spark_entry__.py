@@ -1268,14 +1268,32 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_ann_topk_indexed,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(src)
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
-    idx = f"/tmp/geotools_spark_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
+    # Cache key includes a fingerprint of the source parquet (total
+    # size + max mtime of data files) so regenerated embeddings at the
+    # same path invalidate the index instead of serving stale vectors
+    # (ADVICE r04).
+    fp = 0
+    for root, _dirs, files in os.walk(src):
+        for f_ in files:
+            if f_.startswith(("_", ".")):
+                continue
+            st = os.stat(os.path.join(root, f_))
+            fp = max(fp, int(st.st_mtime)) ^ (fp * 31 + st.st_size) % (1 << 62)
+    idx = (
+        f"/tmp/geotools_spark_ivf_{os.path.basename(sf_dir.rstrip('/'))}_{fp:x}"
+    )
     try:
         if not os.path.exists(os.path.join(idx, "_centroids.json")):
             build_ivf_index(emb, idx, nlist=8)
         out = ivf_ann_topk_indexed(spark, idx, qvec, k=20, nprobe=3)
-    except Exception:  # index dir unusable (perms/stale) -> in-memory path
+    except (OSError, IOError) as e:  # index dir unusable (perms/disk full)
+        import sys
+
+        print(f"[ann_ivf] indexed path failed ({e!r}); in-memory fallback",
+              file=sys.stderr)
         out = ivf_ann_topk(emb, qvec, k=20, nlist=8, nprobe=3)
     return out.select("vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
 

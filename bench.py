@@ -319,7 +319,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(SF_DIR),
-        "docs_per_sec": round(N_BENCH_DOCS / flagship_sec, 1),
+        # null (valid JSON), not NaN, when the flagship phase is skipped
+        "docs_per_sec": (
+            round(N_BENCH_DOCS / flagship_sec, 1) if N_BENCH_DOCS > 0 else None
+        ),
         "bench_docs": N_BENCH_DOCS,
         "cores": spark.sparkContext.defaultParallelism,
     }

@@ -83,11 +83,19 @@ def exact_dedup(docs: DataFrame, *, key: str = "text", id_col: str = "doc_id") -
     and are separated by the real key compare, never merged."""
     kh = F.xxhash64(F.col(key))
     w = Window.partitionBy(kh).orderBy(key, id_col)
+    # Partition start must be detected separately from a NULL-key
+    # predecessor: lag(key) is NULL in both cases, which would let every
+    # NULL-key row survive (ADVICE r04). lag(lit(1)) is NULL only at the
+    # partition's first row; elsewhere a row survives iff its key differs
+    # from its predecessor's under NULL-safe equality, so NULL keys
+    # dedupe like any other key.
+    first = F.lag(F.lit(1)).over(w).isNull()
     prev = F.lag(key).over(w)
     return (
-        docs.withColumn("_prev_key", prev)
-        .filter(F.col("_prev_key").isNull() | (F.col("_prev_key") != F.col(key)))
-        .drop("_prev_key")
+        docs.withColumn("_first", first)
+        .withColumn("_prev_key", prev)
+        .filter(F.col("_first") | ~F.col("_prev_key").eqNullSafe(F.col(key)))
+        .drop("_first", "_prev_key")
     )
 
 

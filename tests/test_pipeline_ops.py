@@ -171,3 +171,17 @@ def test_duplicate_spans_cross_doc(spark):
     # doc4: both windows are 'm m m m m m m m' (same span twice) but no
     # OTHER doc carries it -> not cross-doc duplicated
     assert out[4].n_windows == 2 and out[4].n_dup_windows == 0
+
+
+def test_exact_dedup_null_keys_dedupe(spark):
+    """NULL-text docs must dedupe to one survivor like any other key
+    (ADVICE r04: lag(key).isNull() can't tell partition-start from a
+    NULL-key predecessor)."""
+    from geotools_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None), (5, "b"), (6, None)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert kept == [1, 2, 5]

@@ -382,3 +382,30 @@ def test_validate_stations_operator(spark):
         assert out[qid].interp_z == pytest.approx(want, abs=1e-9)
         assert out[qid].dz == pytest.approx(sz - want, abs=1e-9)
         assert out[qid].n_returns > 3
+
+
+def test_normalize_heights_split_parity(spark):
+    """Hot-cell salted split (VERDICT r04 #2): forcing every cell to
+    split into sub-groups must be rows-identical to the unsplit path —
+    each sub-group re-triangulates the same ground halo, so the TIN is
+    the same object."""
+    rs = np.random.RandomState(42)
+    n = 600
+    xs = rs.uniform(0, 30, n)
+    ys = rs.uniform(0, 30, n)
+    ground_z = 5.0 + 0.1 * xs - 0.05 * ys
+    rows = []
+    for i in range(n):
+        if i % 4 == 0:
+            rows.append((i, float(xs[i]), float(ys[i]), float(ground_z[i]), 2))
+        else:
+            rows.append((i, float(xs[i]), float(ys[i]), float(ground_z[i] + 3.0 + i % 5), 1))
+    df = spark.createDataFrame(rows, "pid int, x double, y double, z double, cls int")
+    plain = {r.pid: r.z_norm for r in normalize_heights(df, res=10.0, rings=1).collect()}
+    split = {
+        r.pid: r.z_norm
+        for r in normalize_heights(
+            df, res=10.0, rings=1, split_target=20, max_splits=8
+        ).collect()
+    }
+    assert plain == split  # bit-identical incl. NULL pattern
