@@ -669,7 +669,11 @@ def _q_rastfit_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_rastfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rastfit -t nn: natural-neighbour interpolation of the sampled
     diff surface (src/rastfit.cpp:148-199 + NaturalNeighbourInterpolator)
-    — rows-only check; the NN kernel itself is property-tested."""
+    — rows-only check; the NN kernel itself is property-tested (Sibson
+    weights need a Voronoi construction SQL can't express). The
+    sibling ``rastfit_idw`` query runs the same rastfit plumbing
+    (sampling replay, joins, cell mapping) under the reference's
+    -t idw mode and IS fully DuckDB-oracled."""
     from geotools_spark.operators.raster import rastfit
 
     base, adj = _rastfit_inputs(spark, sf_dir)
@@ -677,6 +681,19 @@ def _q_rastfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("fit").isNotNull()).select(
         "cell_col", "cell_row", F.round("fit", 6).alias("fit")
     )
+
+
+def _q_rastfit_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rastfit -t idw with the all-neighbours default (-ip unset ->
+    neighbours<=0, src/rastfit.cpp:235,285): IDW of the sampled diff
+    surface over every adj cell. Fully DuckDB-oracled — the affine-mod
+    sample replay (as rastfit_shift) plus the exact-hit/weighted-sum
+    IDW kernel (as knn_idw) compose in plain SQL (VERDICT r04 #3)."""
+    from geotools_spark.operators.raster import rastfit
+
+    base, adj = _rastfit_inputs(spark, sf_dir)
+    out = rastfit(base, adj, method="idw_all", n_samples=200, power=2.0)
+    return out.select("cell_col", "cell_row", F.round("fit", 6).alias("fit"))
 
 
 def _q_coregister(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,7 +1108,11 @@ def _q_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Lagrange matrix inverts on the driver at O(n^3): keep the
     # sample side ~hundreds (the reference's kriging is likewise meant
     # for sparse control points, src/interp/Interpolators.cpp:140-206)
-    samples = derive.points_df(spark, sf_dir).filter(F.col("pid") % 997 == 0)
+    # pid order pins the sample-matrix row order so the oracle's
+    # pure-numpy replay factors the identical system (VERDICT r04 #3)
+    samples = derive.points_df(spark, sf_dir).filter(
+        F.col("pid") % 997 == 0
+    ).orderBy("pid")
     out = simple_kriging(
         samples,
         _query_grid(spark),
@@ -1100,6 +1121,67 @@ def _q_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
         vrange=25.0,
     )
     return out.select("qx", "qy", F.round("kriged", 6).alias("kriged"))
+
+
+def _oracle_kriging_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB oracle for the kriging query (VERDICT r04 #3). The
+    weights are a driver-side O(n^3) factorization by design
+    (src/interp/Interpolators.cpp:140-206), so the oracle replays the
+    whole prediction in an INDEPENDENT non-Spark path: samples come
+    from DuckDB's own derivation CTE in the pid order the query pins,
+    the Lagrange system is factored with the same published formulas,
+    and the 1024 folded predictions are anchored to the live table by
+    sample-count and z-sum guards — regenerated data empties the
+    VALUES and the gate fails loudly instead of silently passing."""
+    import numpy as np
+
+    from geotools_spark.operators.terrain import _vario_model
+    from geotools_spark.testkit.oracle import duckdb_con
+
+    con = duckdb_con(sf_dir)
+    rows = con.execute(
+        f"WITH pts AS ({derive.POINTS_CTE}) "
+        "SELECT x, y, z FROM pts WHERE pid % 997 = 0 ORDER BY pid"
+    ).fetchall()
+    pts = np.array(rows, dtype=np.float64).reshape(-1, 3)
+    n = len(pts)
+    nugget, sill, vrange = 0.0, 30.0, 25.0
+    mfun = _vario_model("spherical")
+    dmat = np.sqrt(
+        (pts[:, 0][:, None] - pts[:, 0][None, :]) ** 2
+        + (pts[:, 1][:, None] - pts[:, 1][None, :]) ** 2
+    )
+    A = np.zeros((n + 1, n + 1))
+    A[:n, :n] = mfun(dmat, nugget, sill, vrange)
+    A[n, :n] = 1.0
+    A[:n, n] = 1.0
+    Ai = np.linalg.inv(A)
+    ids = np.arange(32 * 32)
+    qx = (ids % 32) * 2.0 + 1.0
+    qy = np.floor(ids / 32) * 2.0 + 1.0
+    d = np.sqrt(
+        (qx[:, None] - pts[:, 0][None, :]) ** 2
+        + (qy[:, None] - pts[:, 1][None, :]) ** 2
+    )
+    b = np.ones((len(ids), n + 1))
+    b[:, :-1] = mfun(d, nugget, sill, vrange)
+    w = b @ Ai.T
+    kriged = np.round(w[:, :-1] @ pts[:, 2], 6)
+    zsum = round(float(pts[:, 2].sum()), 6)
+    values = ", ".join(
+        f"({x!r}, {y!r}, {k!r})" for x, y, k in zip(qx, qy, kriged)
+    )
+    return f"""
+    WITH pts AS ({derive.POINTS_CTE}),
+    guard AS (
+      SELECT COUNT(*) AS n, ROUND(SUM(z), 6) AS zsum
+      FROM pts WHERE pid % 997 = 0
+    )
+    SELECT CAST(v.qx AS DOUBLE) AS qx, CAST(v.qy AS DOUBLE) AS qy,
+           CAST(v.kriged AS DOUBLE) AS kriged
+    FROM (VALUES {values}) AS v(qx, qy, kriged), guard
+    WHERE guard.n = {n} AND guard.zsum = {zsum!r}
+    """
 
 
 def _q_normalize_heights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1257,9 +1339,12 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe scan reads only the nprobe nearest cell partitions
     (PartitionFilters pruning, pinned by test_plans.py) — the 100 TB
     shape, where (nlist-nprobe)/nlist of the corpus is never read.
-    Index build (KMeans fit + partitioned write) is cached per sf_dir;
-    rows-only driver check (recall vs exact + indexed==in-memory
-    parity pinned in tests)."""
+    Index build (deterministic sample quantizer + partitioned write)
+    is cached per sf_dir+fingerprint; fully DuckDB-oracled since r5
+    (VERDICT r04 #3): the sample quantizer's centroid choice,
+    assignment argmin, and probe ranking replay in SQL, so the hash
+    gate covers the whole indexed path (recall vs exact and
+    indexed==in-memory parity stay pinned in tests)."""
     import os
 
     from geotools_spark.operators.similarity import (
@@ -1439,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "natural_neighbour": _q_natural_neighbour,
         "las_validate": _q_las_validate,
         "ann_ivf": _q_ann_ivf,
+        "rastfit_idw": _q_rastfit_idw,
     }
 
 
@@ -2899,6 +2985,75 @@ def oracle_sql() -> dict[str, str]:
                            AS INTEGER) AS rank
                FROM scored)
     SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 20
+    """
+
+    sqls["kriging"] = _oracle_kriging_sql()
+
+    # ann_ivf (VERDICT r04 #3): with the deterministic sample quantizer
+    # (operators/similarity.sample_centroids) the WHOLE pipeline —
+    # centroid choice (affine-mod order), cell assignment (argmin of
+    # left-folded squared distances, first-min tie-break), probe
+    # ranking, candidate filter, exact cosine top-k — replays in SQL.
+    def _sqd(a: str, b: str) -> str:
+        t = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        return f"list_sum([{t} * {t} FOR i IN range(1, 65)])"
+
+    sqls["ann_ivf"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cents0 AS (SELECT vec_id, embedding,
+                      (vec_id * 104729 + 1299709) % 999983 AS ok
+               FROM embeddings ORDER BY ok, vec_id LIMIT 8),
+    cents AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY ok, vec_id) - 1
+                          AS INTEGER) AS cidx,
+                     embedding AS cv
+              FROM cents0),
+    dists AS (SELECT e.vec_id, c.cidx, {_sqd('e.embedding', 'c.cv')} AS dd
+              FROM embeddings e CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, cidx,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY dd, cidx) AS rn
+                 FROM dists),
+    cells AS (SELECT vec_id, cidx AS cell FROM assigned WHERE rn = 1),
+    qd AS (SELECT c.cidx, {_sqd('q.qv', 'c.cv')} AS dd FROM cents c, q),
+    probes AS (SELECT cidx FROM qd ORDER BY dd, cidx LIMIT 3),
+    cand AS (SELECT e.vec_id, e.embedding
+             FROM embeddings e JOIN cells USING (vec_id)
+             WHERE cells.cell IN (SELECT cidx FROM probes)),
+    scored AS (SELECT e.vec_id,
+                      ROUND({dot} / ({enorm} * {qnorm}), 6) AS cosine
+               FROM cand e, q),
+    ranked AS (SELECT vec_id, cosine,
+                      CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id)
+                           AS INTEGER) AS rank
+               FROM scored)
+    SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 20
+    """
+
+    sqls["rastfit_idw"] = f"""
+    {_CELLS_CTE},
+    base AS (SELECT cell_col, cell_row, AVG(z) AS value
+             FROM cells GROUP BY cell_col, cell_row),
+    adj AS (SELECT cell_col, cell_row, MAX(z) AS value
+            FROM cells GROUP BY cell_col, cell_row),
+    overlap AS (SELECT adj.cell_col, adj.cell_row,
+                       adj.value - base.value AS d,
+                       (adj.cell_col * 104729 + adj.cell_row * 7919 + 1299709)
+                         % 999983 AS ok
+                FROM adj JOIN base USING (cell_col, cell_row)),
+    samples AS (SELECT CAST(cell_col AS DOUBLE) AS sx,
+                       CAST(cell_row AS DOUBLE) AS sy, d AS z
+                FROM overlap ORDER BY ok, cell_col, cell_row LIMIT 200),
+    pairs AS (SELECT adj.cell_col, adj.cell_row, s.z,
+                     SQRT((adj.cell_col - s.sx) * (adj.cell_col - s.sx)
+                        + (adj.cell_row - s.sy) * (adj.cell_row - s.sy)) AS dist
+              FROM adj CROSS JOIN samples s)
+    SELECT cell_col, cell_row,
+      ROUND(CASE WHEN COUNT(CASE WHEN dist = 0 THEN 1 END) > 0
+        THEN SUM(CASE WHEN dist = 0 THEN z END)
+             / COUNT(CASE WHEN dist = 0 THEN 1 END)
+        ELSE SUM(CASE WHEN dist > 0 THEN z / (dist * dist) END)
+             / SUM(CASE WHEN dist > 0 THEN 1.0 / (dist * dist) END) END, 6) AS fit
+    FROM pairs GROUP BY cell_col, cell_row
     """
 
     return sqls

@@ -33,6 +33,26 @@ def interp_idw(
     return _idw_kernel(knn, power=power).withColumnRenamed("idw", "value")
 
 
+def interp_idw_all(
+    queries: DataFrame, samples: DataFrame, *, power: float = 2.0, **_
+) -> DataFrame:
+    """IDWInterpolator's all-neighbours branch (neighbours <= 0,
+    src/interp/Interpolators.cpp:288-321 via rastfit -ip default):
+    every sample weighs into every query. The sample side is
+    contract-small, so a broadcast cross join keeps it one narrow
+    stage — and the formula is plain aggregation, so the whole path is
+    DuckDB-expressible (VERDICT r04 #3)."""
+    from geotools_spark.operators.neighbors import idw
+
+    j = queries.crossJoin(F.broadcast(samples.select("x", "y", "z")))
+    d = F.sqrt(
+        (F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x"))
+        + (F.col("qy") - F.col("y")) * (F.col("qy") - F.col("y"))
+    )
+    knn = j.select("qid", "z", d.alias("dist"))
+    return idw(knn, power=power).withColumnRenamed("idw", "value")
+
+
 def interp_avg(
     queries: DataFrame, samples: DataFrame, *, k: int = 8,
     res: float = 1.0, rings: int = 2,
@@ -151,6 +171,7 @@ def interp_natural_neighbour(queries: DataFrame, samples: DataFrame, **_) -> Dat
 
 REGISTRY = {
     "idw": interp_idw,
+    "idw_all": interp_idw_all,
     "avg": interp_avg,
     "shift": interp_shift,
     "planar": interp_planar,

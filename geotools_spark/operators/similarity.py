@@ -87,6 +87,78 @@ def bucket_expr(vec_col, planes: np.ndarray):
     return bucket
 
 
+QUANT_SEED = 1299709
+
+
+def _seq_sq_dist(a, b) -> float:
+    """Squared euclidean distance as a LEFT-TO-RIGHT fold in pure
+    Python doubles — the same IEEE operation chain the Spark
+    ``assign_cell_expr`` aggregate and the DuckDB ``list_sum``
+    comprehension evaluate, so all three engines rank centroids
+    identically (no vectorized-reorder drift)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc = acc + d * d
+    return acc
+
+
+def sample_centroids(
+    embeddings: DataFrame,
+    *,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = QUANT_SEED,
+) -> list[list[float]]:
+    """Deterministic coarse quantizer (VERDICT r04 #3): the centroids
+    are the embeddings of ``nlist`` affine-mod-selected ids — no
+    learned state, so centroid choice, cell assignment, and probe
+    ranking all replay exactly in ANSI SQL (the ann_ivf oracle). A
+    coarse quantizer governs recall through nprobe, not centroid
+    optimality (the recall tests pin that); KMeans refinement stays
+    available via ``method='kmeans'`` where SQL parity is not needed."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy(
+            F.pmod(F.col("_id") * 104729 + F.lit(int(seed)), F.lit(999983)),
+            "_id",
+        )
+        .limit(int(nlist))
+        .collect()
+    )
+    return [[float(x) for x in r._v] for r in rows]
+
+
+def assign_cell_expr(vec_col: str, centers: list[list[float]]):
+    """JVM-side cell assignment: argmin over per-centroid squared
+    distances (first-min tie-break = lowest centroid index), each a
+    sequential fold so the oracle's left-associated sum matches
+    bit-for-bit. Whole-stage-codegen — no ML runtime, no Python."""
+    vc = F.col(vec_col).cast("array<double>")
+    dists = []
+    for c in centers:
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        sq = F.aggregate(
+            F.zip_with(vc, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(sq)
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def _probe_cells(
+    centers: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    dists = [_seq_sq_dist(c, query_vec) for c in centers]
+    return sorted(range(len(centers)), key=lambda i: (dists[i], i))[:nprobe]
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -98,39 +170,43 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     seed: int = 7,
     max_iter: int = 8,
+    method: str = "sample",
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: a KMeans coarse quantizer (pyspark.ml)
-    partitions vectors into nlist cells; queries scan only the nprobe
-    closest cells. The index build is one ML fit + one assignment pass
-    (both distributed); at serving time the candidate scan is
+    """IVF (inverted-file) ANN: a coarse quantizer partitions vectors
+    into nlist cells; queries scan only the nprobe closest cells. The
+    default quantizer is the deterministic ``sample_centroids`` (SQL-
+    replayable — the driver's ann_ivf hash gate); ``method='kmeans'``
+    fits pyspark.ml KMeans instead (low ``max_iter``: a coarse
+    quantizer needs balanced partitions, not converged centroids —
+    recall is governed by nprobe, pinned by the recall-vs-brute
+    tests). At serving time the candidate scan is
     ``filter(cell IN probes)`` — partition-prunable when the table is
     written bucketed by cell id. Exact cosine runs on candidates only.
-
-    ``max_iter`` defaults low: a coarse quantizer needs balanced
-    partitions, not converged centroids — recall is governed by nprobe
-    (pinned by the recall-vs-brute tests), and each extra Lloyd
-    iteration is a full pass over the corpus at build time.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if method == "sample":
+        centers = sample_centroids(
+            embeddings, nlist=nlist, id_col=id_col, vec_col=vec_col
+        )
+        assigned = embeddings.select(id_col, vec_col).withColumn(
+            "_cell", assign_cell_expr(vec_col, centers)
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    va = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
-    )
-    km = KMeans(
-        k=nlist, seed=seed, maxIter=int(max_iter),
-        featuresCol="_feat", predictionCol="_cell",
-    )
-    model = km.fit(va)
-    assigned = model.transform(va).drop("_feat")
-    import numpy as np
-
-    q = np.asarray(query_vec, dtype=np.float64)
-    centers = model.clusterCenters()
-    dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in centers]
-    probes = sorted(range(len(centers)), key=lambda i: dists[i])[:nprobe]
+        va = embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
+        )
+        km = KMeans(
+            k=nlist, seed=seed, maxIter=int(max_iter),
+            featuresCol="_feat", predictionCol="_cell",
+        )
+        model = km.fit(va)
+        assigned = model.transform(va).drop("_feat")
+        centers = [[float(v) for v in c] for c in model.clusterCenters()]
+    probes = _probe_cells(centers, query_vec, nprobe)
     cand = assigned.filter(F.col("_cell").isin(probes)).drop("_cell")
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
@@ -145,6 +221,7 @@ def build_ivf_index(
     seed: int = 7,
     max_iter: int = 8,
     run_id: str = "ivf-build",
+    method: str = "sample",
 ) -> str:
     """Materialize the IVF index as a CELL-PARTITIONED table: vectors
     are written ``partitionBy(cell)`` through the lineage/checkpoint
@@ -154,30 +231,43 @@ def build_ivf_index(
     nprobe cell directories and the other (nlist - nprobe)/nlist of
     the corpus is never read (PartitionFilters, pinned by
     test_plans.py) — the Spark analogue of the reference's R-tree
-    bbox query (include/sqlite.hpp:182). Build is one ML fit + one
-    assignment pass + one partitioned write, all distributed; rebuild
-    is resumable (checkpointed_write skips committed cells)."""
+    bbox query (include/sqlite.hpp:182). Build is one assignment pass
+    + one partitioned write (plus a KMeans fit under
+    ``method='kmeans'``), all distributed; rebuild is resumable
+    (checkpointed_write skips committed cells)."""
     import json
     import os
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     from ..plans import lineage
 
-    va = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
-    )
-    km = KMeans(
-        k=nlist, seed=seed, maxIter=int(max_iter),
-        featuresCol="_feat", predictionCol="cell",
-    )
-    model = km.fit(va)
-    assigned = model.transform(va).drop("_feat")
+    # sidecar JSON uses open()/os.replace — same local-FS constraint as
+    # the manifest (VERDICT r04 #9); fail before the expensive build
+    path = lineage.require_local_path(path, "build_ivf_index")
+
+    if method == "sample":
+        centers = sample_centroids(
+            embeddings, nlist=nlist, id_col=id_col, vec_col=vec_col
+        )
+        assigned = embeddings.select(id_col, vec_col).withColumn(
+            "cell", assign_cell_expr(vec_col, centers)
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        va = embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
+        )
+        km = KMeans(
+            k=nlist, seed=seed, maxIter=int(max_iter),
+            featuresCol="_feat", predictionCol="cell",
+        )
+        model = km.fit(va)
+        assigned = model.transform(va).drop("_feat")
+        centers = [[float(v) for v in c] for c in model.clusterCenters()]
     lineage.checkpointed_write(assigned, path, part_col="cell", run_id=run_id)
-    centers = [[float(v) for v in c] for c in model.clusterCenters()]
     tmp = os.path.join(path, "_centroids.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(centers, fh)
@@ -202,9 +292,7 @@ def ivf_probe_scan(
 
     with open(os.path.join(path, "_centroids.json")) as fh:
         centers = json.load(fh)
-    q = np.asarray(query_vec, dtype=np.float64)
-    dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in centers]
-    probes = sorted(sorted(range(len(centers)), key=lambda i: dists[i])[:nprobe])
+    probes = sorted(_probe_cells(centers, query_vec, nprobe))
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
     return cand, probes
 

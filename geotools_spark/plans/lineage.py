@@ -31,6 +31,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def require_local_path(path: str, what: str) -> str:
+    """Fail loudly on non-local URIs (VERDICT r04 #9). The sidecar
+    writers in this module (and build_ivf_index's _centroids.json) use
+    os/open() path manipulation: on an hdfs:// or s3a:// URI the Spark
+    write would go to the remote filesystem while the sidecar landed in
+    a literal ``hdfs:`` local directory — corrupt lineage with no
+    error. Returns the path with any file:// prefix stripped."""
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(f"{what} is local-filesystem-only, got {path!r}")
+    return path.removeprefix("file://")
+
+
 def _manifest_path(path: str) -> str:
     return os.path.join(path, "_manifest.json")
 
@@ -61,6 +73,7 @@ def checkpointed_write(
     The skip is a partition-pruned anti-filter (``~isin(completed)``) —
     at 10^12 docs the pruned partitions never leave the scan."""
     spark = df.sparkSession
+    path = require_local_path(path, "checkpointed_write")
     os.makedirs(path, exist_ok=True)
     manifest = read_manifest(path)
     done = set(manifest["completed"])
@@ -167,11 +180,7 @@ def compact_partitions(
     """
     import shutil
 
-    if "://" in path and not path.startswith("file://"):
-        raise ValueError(
-            f"compact_partitions is local-filesystem-only, got {path!r}"
-        )
-    path = path.removeprefix("file://")
+    path = require_local_path(path, "compact_partitions")
 
     summary = {"run_id": run_id, "compaction": True, "partitions": 0,
                "files_before": 0, "files_after": 0, "rows": 0}

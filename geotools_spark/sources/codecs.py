@@ -146,14 +146,63 @@ def decode_png(buf: bytes) -> np.ndarray:
 
 # --------------------------------------------------------------- TIFF
 
-def encode_strip_tiff_u8(arr: np.ndarray) -> bytes:
-    """(h, w[, c]) uint8 -> classic little-endian TIFF, uncompressed,
-    contiguous, one strip. Readable by sources.tiff.read_strip_tiff_bytes."""
+def _packbits_encode(src: bytes) -> bytes:
+    """TIFF 6.0 PackBits: emit repeat runs (>=3 equal bytes) as
+    (257-n, byte) and everything else as literal blocks of <=128."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and src[i + run] == src[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, src[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 3 and src[i + run] == src[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit_start - 1]) + src[lit_start:i]
+    return bytes(out)
+
+
+def encode_strip_tiff_u8(
+    arr: np.ndarray,
+    *,
+    compression: str = "none",
+    predictor: int = 1,
+) -> bytes:
+    """(h, w[, c]) uint8 -> classic little-endian TIFF, contiguous, one
+    strip. ``compression``: "none", "deflate" (tag 8, zlib), or
+    "packbits" (tag 32773); ``predictor``: 1 (none) or 2 (horizontal
+    differencing, deflate only — the layout real Deflate GeoTIFFs use).
+    Readable by sources.tiff.read_strip_tiff_bytes."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
-    data = arr.tobytes()
+    if predictor == 2:
+        # store per-row left-neighbor deltas (modulo 256)
+        d = arr.astype(np.int16)
+        d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+        payload = (d % 256).astype(np.uint8).tobytes()
+    elif predictor == 1:
+        payload = arr.tobytes()
+    else:
+        raise ValueError(f"predictor {predictor}")
+    comp_tag = {"none": 1, "deflate": 8, "packbits": 32773}[compression]
+    if compression == "deflate":
+        data = zlib.compress(payload)
+    elif compression == "packbits":
+        data = _packbits_encode(payload)
+    else:
+        data = payload
     # layout: header(8) + IFD + values + pixel data
     tags = []  # (tag, type, count, value_or_offset, extra_bytes)
 
@@ -163,7 +212,7 @@ def encode_strip_tiff_u8(arr: np.ndarray) -> bytes:
     def long_(tag, v):
         tags.append((tag, 4, 1, v, b""))
 
-    n_entries = 10
+    n_entries = 10 + (1 if predictor == 2 else 0)
     ifd_off = 8
     ifd_size = 2 + n_entries * 12 + 4
     extra_off = ifd_off + ifd_size
@@ -186,12 +235,14 @@ def encode_strip_tiff_u8(arr: np.ndarray) -> bytes:
     long_(256, w)            # ImageWidth
     long_(257, h)            # ImageLength
     tags.append(bps_entry)   # BitsPerSample
-    short(259, 1)            # Compression: none
+    short(259, comp_tag)     # Compression
     short(262, 2 if c >= 3 else 1)  # Photometric: RGB / gray
     long_(273, data_off)     # StripOffsets
     short(277, c)            # SamplesPerPixel
     long_(278, h)            # RowsPerStrip (single strip)
     long_(279, len(data))    # StripByteCounts
+    if predictor == 2:
+        short(317, 2)        # Predictor: horizontal differencing
     tags.append(sfmt_entry)  # SampleFormat: uint
     tags.sort(key=lambda t: t[0])
     assert len(tags) == n_entries

@@ -7,13 +7,17 @@ Scope (honest subset, like the other codecs in this package):
 
 - 8-bit baseline sequential (SOF0), Huffman entropy coding with the
   Annex-K luminance table pair, one uniform quantization table.
-- 1 (gray) or 3 components, all 1x1 sampling (no chroma subsample),
-  and NO color transform: 3-component images are coded as R,G,B
-  planes directly (component ids 'R','G','B' — the de-facto RGB
-  convention; JFIF's YCbCr transform would make the synthetic-oracle
-  arithmetic irrational). The decoder rejects subsampled or
-  progressive streams with NotImplementedError rather than mis-decoding.
-- No restart markers.
+- 1 (gray) or 3 components. Encoder default (and all hash-gated
+  fixtures): 1x1 sampling, NO color transform — 3-component images
+  coded as R,G,B planes with component ids 'R','G','B' (JFIF's YCbCr
+  transform would make the synthetic-oracle arithmetic irrational).
+- Real-world streams (VERDICT r04 #4): the decoder handles arbitrary
+  sampling factors (4:2:0/4:2:2, replicate upsampling), restart
+  intervals, and inverts the BT.601 YCbCr transform when component
+  ids are 1/2/3; the encoder can produce all three via
+  ``subsample="420"``, ``restart_interval=N``, ``ycbcr=True``.
+  Progressive (SOF2) and arithmetic coding still raise
+  NotImplementedError rather than mis-decoding.
 
 Exactness property used by the hash-gated oracle fixtures: a block
 whose 64 samples are CONSTANT has only a DC coefficient; with the
@@ -145,36 +149,75 @@ def _to_blocks(chan: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(arr: np.ndarray, *, quant: int = 1) -> bytes:
-    """Encode (h, w[, c]) uint8 (c in {1, 3}) -> baseline JPEG bytes
-    (RGB planes, no subsampling, uniform quant table)."""
+def encode_jpeg(
+    arr: np.ndarray,
+    *,
+    quant: int = 1,
+    subsample: str = "444",
+    ycbcr: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w[, c]) uint8 (c in {1, 3}) -> baseline JPEG bytes.
+
+    Defaults reproduce the round-4 stream byte-for-byte (RGB planes,
+    1x1 sampling, uniform quant table, no restarts — the hash-gated
+    fixtures depend on that). New real-world knobs (VERDICT r04 #4):
+    ``subsample="420"`` codes component 0 at 2x2 sampling factors with
+    box-averaged 2x1x1 chroma (the layout of most camera JPEGs),
+    ``ycbcr=True`` applies the JFIF BT.601 color transform and labels
+    components 1/2/3 so the decoder inverts it, ``restart_interval=N``
+    emits RSTn markers every N MCUs (DRI)."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
     if c not in (1, 3):
         raise ValueError(f"unsupported channel count {c}")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unsupported subsample {subsample}")
+    sub = subsample == "420" and c == 3
     q = int(quant)
     qtab = np.full(64, q, dtype=np.int64)
 
-    # forward DCT + quantize, all blocks per channel at once
-    comps = []
-    for ci in range(c):
-        blocks = _to_blocks(arr[:, :, ci]).astype(np.float64) - 128.0
-        coef = np.matmul(_C, np.matmul(blocks, _C.T))  # batched S = C s C^T
-        coef = np.round(coef / q).astype(np.int64)
-        comps.append(coef.reshape(-1, 64)[:, _ZIGZAG])  # zigzag order
+    planes = [arr[:, :, ci].astype(np.float64) for ci in range(c)]
+    if ycbcr and c == 3:
+        R, G, B = planes
+        planes = [
+            0.299 * R + 0.587 * G + 0.114 * B,
+            -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0,
+            0.5 * R - 0.418688 * G - 0.081312 * B + 128.0,
+        ]
+    planes = [np.clip(np.rint(p), 0.0, 255.0) for p in planes]
 
-    bw = _BitWriter()
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
-    pred = [0] * c
-    # per-component block lists + vectorized last-nonzero-AC index:
-    # the per-block numpy calls otherwise dominate encode time on
-    # flat-block fixtures (every AC zero -> last_nz 0, DC + EOB only)
-    rows = []
-    lasts = []
+    samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * c
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component: (down)sample, pad to its MCU-aligned grid, batched
+    # forward DCT + quantize + zigzag, vectorized last-nonzero-AC (the
+    # per-block numpy calls otherwise dominate on flat-block fixtures)
+    rows, lasts, nbx_c = [], [], []
     for ci in range(c):
-        zz_all = comps[ci]
+        hi, vi = samp[ci]
+        p = planes[ci]
+        if (hi, vi) != (hmax, vmax):
+            fy, fx = vmax // vi, hmax // hi
+            py, px = (-p.shape[0]) % fy, (-p.shape[1]) % fx
+            if py or px:
+                p = np.pad(p, ((0, py), (0, px)), mode="edge")
+            p = p.reshape(
+                p.shape[0] // fy, fy, p.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+            p = np.clip(np.rint(p), 0.0, 255.0)
+        th, tw = mcuy * 8 * vi, mcux * 8 * hi
+        p = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        blocks = _to_blocks(p) - 128.0
+        coef = np.matmul(_C, np.matmul(blocks, _C.T))  # batched S = C s C^T
+        zz_all = np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, _ZIGZAG]
         nzmask = zz_all[:, 1:] != 0
         has = nzmask.any(axis=1)
         last = np.zeros(len(zz_all), dtype=np.int64)
@@ -182,41 +225,60 @@ def encode_jpeg(arr: np.ndarray, *, quant: int = 1) -> bytes:
             last[has] = 63 - np.argmax(nzmask[has][:, ::-1], axis=1)
         rows.append(zz_all.tolist())
         lasts.append(last.tolist())
-    for bi in range(nby * nbx):  # interleaved MCU = 1 block/component
+        nbx_c.append(tw // 8)
+
+    bw = _BitWriter()
+    pred = [0] * c
+    rst = 0
+    n_mcu = mcuy * mcux
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            pred = [0] * c
+        my, mx = divmod(m, mcux)
         for ci in range(c):
-            zz = rows[ci][bi]
-            diff = zz[0] - pred[ci]
-            pred[ci] = zz[0]
-            size, extra = _magnitude(diff)
-            code, ln = _DC_ENC[size]
-            bw.put(code, ln)
-            if size:
-                bw.put(extra, size)
-            run = 0
-            last_nz = lasts[ci][bi]
-            for k in range(1, last_nz + 1):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = _AC_ENC[0xF0]  # ZRL
+            hi, vi = samp[ci]
+            for v in range(vi):
+                for hh in range(hi):
+                    bi = (my * vi + v) * nbx_c[ci] + (mx * hi + hh)
+                    zz = rows[ci][bi]
+                    diff = zz[0] - pred[ci]
+                    pred[ci] = zz[0]
+                    size, extra = _magnitude(diff)
+                    code, ln = _DC_ENC[size]
                     bw.put(code, ln)
-                    run -= 16
-                size, extra = _magnitude(v)
-                code, ln = _AC_ENC[(run << 4) | size]
-                bw.put(code, ln)
-                bw.put(extra, size)
-                run = 0
-            if last_nz < 63:
-                code, ln = _AC_ENC[0x00]  # EOB
-                bw.put(code, ln)
+                    if size:
+                        bw.put(extra, size)
+                    run = 0
+                    last_nz = lasts[ci][bi]
+                    for k in range(1, last_nz + 1):
+                        val = zz[k]
+                        if val == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = _AC_ENC[0xF0]  # ZRL
+                            bw.put(code, ln)
+                            run -= 16
+                        size, extra = _magnitude(val)
+                        code, ln = _AC_ENC[(run << 4) | size]
+                        bw.put(code, ln)
+                        bw.put(extra, size)
+                        run = 0
+                    if last_nz < 63:
+                        code, ln = _AC_ENC[0x00]  # EOB
+                        bw.put(code, ln)
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    comp_ids = [0x52, 0x47, 0x42][:c] if c == 3 else [0x47]
+    if ycbcr and c == 3:
+        comp_ids = [1, 2, 3]
+    else:
+        comp_ids = [0x52, 0x47, 0x42][:c] if c == 3 else [0x47]
     dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in qtab))
     dht = seg(
         0xFFC4,
@@ -226,7 +288,15 @@ def encode_jpeg(arr: np.ndarray, *, quant: int = 1) -> bytes:
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, c)
-        + b"".join(struct.pack(">BBB", cid, 0x11, 0) for cid in comp_ids),
+        + b"".join(
+            struct.pack(">BBB", cid, (s[0] << 4) | s[1], 0)
+            for cid, s in zip(comp_ids, samp)
+        ),
+    )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
     )
     sos = seg(
         0xFFDA,
@@ -235,7 +305,7 @@ def encode_jpeg(arr: np.ndarray, *, quant: int = 1) -> bytes:
         + struct.pack(">BBB", 0, 63, 0),
     )
     return (
-        b"\xff\xd8" + dqt + dht + sof + sos + bytes(bw.out) + b"\xff\xd9"
+        b"\xff\xd8" + dqt + dht + sof + dri + sos + bytes(bw.out) + b"\xff\xd9"
     )
 
 
@@ -283,6 +353,21 @@ class _BitReader:
         self._n -= n
         self._acc &= (1 << self._n) - 1
 
+    def restart(self) -> None:
+        """Byte-align at a restart boundary and skip the RSTn marker.
+        Buffered bits are padding (and possibly 1-fill from peeking at
+        the marker, which _fill never consumes); ``pos`` is therefore
+        at or before the marker — scan forward for FFD0-FFD7, which
+        cannot occur inside entropy data (FF is always stuffed)."""
+        self._acc = 0
+        self._n = 0
+        p = self.pos
+        while p + 1 < len(self.data) and not (
+            self.data[p] == 0xFF and 0xD0 <= self.data[p + 1] <= 0xD7
+        ):
+            p += 1
+        self.pos = p + 2
+
 
 def _decode_tables(bits: list[int], vals: list[int]):
     """16-bit lookup tables for one-shot canonical Huffman decode:
@@ -320,8 +405,13 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes -> uint8 (h, w, c). Subset guard:
-    progressive (SOF2), subsampled, restart-interval, or
+    """Decode baseline JPEG bytes -> uint8 (h, w, c).
+
+    Handles arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 —
+    chroma is replicate-upsampled), restart intervals (DRI/RSTn), and
+    the JFIF YCbCr->RGB inverse when the stream's component ids are
+    1/2/3 (the camera-JPEG convention; id 'R','G','B' streams stay
+    untransformed planes). Subset guard: progressive (SOF2) and
     arithmetic-coded streams raise NotImplementedError."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -329,6 +419,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], tuple[dict, list[int]]] = {}
     sof = None
+    restart_interval = 0
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("marker sync lost")
@@ -367,14 +458,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from(">BBB", payload, 6 + 3 * i)
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled components")
-                comps.append((cid, tq))
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
             sof = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("non-baseline SOF")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:  # SOS: entropy data follows
             if sof is None:
                 raise ValueError("SOS before SOF")
@@ -384,62 +473,101 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 0xF))
             h, w, comps = sof
-            nbx, nby = (w + 7) // 8, (h + 7) // 8
+            if ns != len(comps):
+                raise NotImplementedError("non-interleaved scans")
+            hmax = max(hi for _, hi, _, _ in comps)
+            vmax = max(vi for _, _, vi, _ in comps)
+            for _, hi, vi, _ in comps:
+                if not hi or not vi or hmax % hi or vmax % vi:
+                    raise NotImplementedError("non-integral sampling ratio")
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             br = _BitReader(buf[pos + seglen :])
             planes = [
-                np.zeros((nby * 8, nbx * 8), dtype=np.float64) for _ in comps
+                np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.float64)
+                for _, hi, vi, _ in comps
             ]
             pred = [0] * len(comps)
-            qt = [qtabs[tq] for _, tq in comps]
+            qt = [qtabs[tq] for *_, tq in comps]
+            # scan order follows SOS; map each scan entry to its SOF
+            # component for sampling factors and quant table
+            info = []
+            for cs, td, ta in scan:
+                ci = next(
+                    i for i, (cid, *_r) in enumerate(comps) if cid == cs
+                )
+                _, hi, vi, _ = comps[ci]
+                info.append((ci, hi, vi, htabs[(0, td)], htabs[(1, ta)]))
             zz = np.zeros(64, dtype=np.int64)
             c00 = _C[0, 0]
-            for by in range(nby):
-                for bx in range(nbx):
-                    for ci, (_cid, td, ta) in enumerate(scan):
-                        dcd, dcv = htabs[(0, td)]
-                        acd, acv = htabs[(1, ta)]
-                        size = _huff_decode(br, dcd, dcv)
-                        diff = _extend(br.bits(size), size) if size else 0
-                        pred[ci] += diff
-                        rs = _huff_decode(br, acd, acv)
-                        if rs == 0x00:
-                            # DC-only block (EOB right after DC) — the
-                            # dominant case for flat content. Replicate
-                            # the full IDCT's exact float ops (every
-                            # element is (C00*dcq)*C00 + 128), so the
-                            # shortcut is bit-identical to the slow path
-                            dcq = float(pred[ci] * int(qt[ci][0]))
-                            planes[ci][
-                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                            ] = (c00 * dcq) * c00 + 128.0
-                            continue
-                        zz[:] = 0
-                        zz[0] = pred[ci]
-                        k = 1
-                        while True:
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r != 15:
-                                    break  # EOB
-                                k += 16  # ZRL
-                            else:
-                                k += r
-                                if k > 63:
-                                    raise ValueError("AC index overrun")
-                                zz[k] = _extend(br.bits(s), s)
-                                k += 1
-                            if k > 63:
-                                break
+            for m in range(mcuy * mcux):
+                if restart_interval and m and m % restart_interval == 0:
+                    br.restart()
+                    pred = [0] * len(comps)
+                my, mx = divmod(m, mcux)
+                for ci, hi, vi, (dcd, dcv), (acd, acv) in info:
+                    for v in range(vi):
+                        for hh in range(hi):
+                            y0 = (my * vi + v) * 8
+                            x0 = (mx * hi + hh) * 8
+                            size = _huff_decode(br, dcd, dcv)
+                            diff = (
+                                _extend(br.bits(size), size) if size else 0
+                            )
+                            pred[ci] += diff
                             rs = _huff_decode(br, acd, acv)
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZIGZAG] = zz * qt[ci]
-                        blk = _C.T @ coef.reshape(8, 8) @ _C + 128.0
-                        planes[ci][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = blk
+                            if rs == 0x00:
+                                # DC-only block (EOB right after DC) —
+                                # the dominant case for flat content.
+                                # Replicate the full IDCT's exact float
+                                # ops (every element is
+                                # (C00*dcq)*C00 + 128), so the shortcut
+                                # is bit-identical to the slow path
+                                dcq = float(pred[ci] * int(qt[ci][0]))
+                                planes[ci][y0 : y0 + 8, x0 : x0 + 8] = (
+                                    c00 * dcq
+                                ) * c00 + 128.0
+                                continue
+                            zz[:] = 0
+                            zz[0] = pred[ci]
+                            k = 1
+                            while True:
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r != 15:
+                                        break  # EOB
+                                    k += 16  # ZRL
+                                else:
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError("AC index overrun")
+                                    zz[k] = _extend(br.bits(s), s)
+                                    k += 1
+                                if k > 63:
+                                    break
+                                rs = _huff_decode(br, acd, acv)
+                            coef = np.zeros(64, dtype=np.float64)
+                            coef[_ZIGZAG] = zz * qt[ci]
+                            blk = _C.T @ coef.reshape(8, 8) @ _C + 128.0
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+            chans = []
+            for ci, (_, hi, vi, _) in enumerate(comps):
+                p = planes[ci]
+                fy, fx = vmax // vi, hmax // hi
+                if fy > 1 or fx > 1:  # replicate (nearest) upsampling
+                    p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+                chans.append(p[:h, :w])
+            if len(comps) == 3 and [cid for cid, *_r in comps] == [1, 2, 3]:
+                # JFIF component ids 1/2/3 = YCbCr: invert BT.601
+                ych, cb, cr = chans
+                chans = [
+                    ych + 1.402 * (cr - 128.0),
+                    ych - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                    ych + 1.772 * (cb - 128.0),
+                ]
             out = np.empty((h, w, len(comps)), dtype=np.uint8)
-            for ci, p in enumerate(planes):
-                t = np.rint(p[:h, :w])
+            for ci, p in enumerate(chans):
+                t = np.rint(p)
                 np.clip(t, 0, 255, out=t)
                 out[:, :, ci] = t
             return out

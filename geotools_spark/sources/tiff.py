@@ -1,10 +1,12 @@
-"""Minimal pure-NumPy reader for uncompressed strip TIFFs.
+"""Minimal pure-NumPy reader for strip TIFFs.
 
-Implemented from the public TIFF 6.0 specification — just enough to
-load the NAD83v6VG velocity grid (little-endian, Compression=1,
-PlanarConfig=contig, one strip per row, float32 samples) plus the
-GeoTIFF ModelPixelScale / ModelTiepoint tags that define the affine
-geotransform. GDAL is not available in this environment (SURVEY.md §7),
+Implemented from the public TIFF 6.0 specification — enough to load
+the NAD83v6VG velocity grid (little-endian, PlanarConfig=contig, one
+strip per row, float32 samples) plus the GeoTIFF ModelPixelScale /
+ModelTiepoint tags that define the affine geotransform. Compression:
+none (1), Deflate (8 / 32946, stdlib zlib), and PackBits (32773),
+with the horizontal-differencing Predictor (tag 317=2) real Deflate
+GeoTIFFs use (VERDICT r04 #5). GDAL is not available in this environment (SURVEY.md §7),
 and this 200-line reader removes the dependency for the one raster the
 transform pipeline needs (reference loads the same file via GDAL at
 src/las2csrs.cpp:96-136).
@@ -29,6 +31,24 @@ def _read_tag_values(buf: bytes, bo: str, typ: int, count: int, val_off: int, in
         ints = struct.unpack(bo + "I" * (2 * count), raw)
         return [ints[2 * i] / ints[2 * i + 1] for i in range(count)]
     return raw
+
+
+def _packbits_decode(src: bytes, want: int) -> bytes:
+    """TIFF 6.0 PackBits: n in [0,127] -> copy n+1 literal bytes;
+    n in [-127,-1] -> repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(src) and len(out) < want:
+        n = src[i]
+        i += 1
+        if n < 128:
+            out += src[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([src[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
 
 
 def read_strip_tiff(path: str):
@@ -68,8 +88,12 @@ def read_strip_tiff_bytes(buf: bytes):
     spp = int(tags.get(277, [1])[0])
     bps = tags[258]
     fmt = tags.get(339, [1] * spp)
-    if int(tags.get(259, [1])[0]) != 1:
-        raise NotImplementedError("only uncompressed TIFFs supported")
+    comp = int(tags.get(259, [1])[0])
+    predictor = int(tags.get(317, [1])[0])
+    if comp not in (1, 8, 32946, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported (none/Deflate/PackBits only)"
+        )
     if int(tags.get(284, [1])[0]) != 1:
         raise NotImplementedError("only contiguous planar config supported")
     if all(int(b) == 32 for b in bps) and all(int(f) == 3 for f in fmt):
@@ -78,6 +102,12 @@ def read_strip_tiff_bytes(buf: bytes):
         dt = np.dtype("u1")
     else:
         raise NotImplementedError("only float32 or uint8 samples supported")
+    if predictor == 2 and dt.kind != "u":
+        # TIFF 6.0 horizontal differencing is defined on integer data;
+        # float data uses predictor 3 (byte-split), not implemented
+        raise NotImplementedError("predictor 2 on non-integer samples")
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
 
     offsets = tags[273]
     counts = tags[279]
@@ -86,8 +116,23 @@ def read_strip_tiff_bytes(buf: bytes):
     row = 0
     for off, cnt in zip(offsets, counts):
         nrows = min(rows_per_strip, height - row)
-        strip = np.frombuffer(buf, dtype=dt, count=nrows * width * spp, offset=int(off))
-        data[row : row + nrows] = strip.reshape(nrows, width, spp).astype(np.float64)
+        want = nrows * width * spp * dt.itemsize
+        if comp == 1:
+            raw = buf[int(off) : int(off) + want]
+        elif comp in (8, 32946):  # Adobe Deflate / Deflate: zlib stream
+            import zlib
+
+            raw = zlib.decompress(buf[int(off) : int(off) + int(cnt)])
+        else:  # 32773 PackBits (TIFF 6.0 §9)
+            raw = _packbits_decode(buf[int(off) : int(off) + int(cnt)], want)
+        strip = np.frombuffer(raw, dtype=dt, count=nrows * width * spp)
+        block = strip.reshape(nrows, width, spp)
+        if predictor == 2:
+            # horizontal differencing: each sample stores the delta to
+            # its left neighbor (per channel); undo with a modular
+            # cumulative sum along the row
+            block = np.cumsum(block.astype(np.uint64), axis=1).astype(dt)
+        data[row : row + nrows] = block.astype(np.float64)
         row += nrows
 
     scale = tags.get(33550, [1.0, 1.0, 0.0])

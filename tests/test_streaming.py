@@ -264,3 +264,77 @@ def test_direction_flip_stream_matches_batch(spark, tmp_path):
     early_31 = [p for p, c in got.items() if c == 31 and
                 any(r[1] == p for r in by_t[:first_batch_rows])]
     assert early_31, "flip span did not straddle the batch boundary"
+
+
+def test_flight_segments_stream_matches_batch(spark, tmp_path):
+    """VERDICT r04 #7: session_window flight-line sessionization with
+    multi-batch state carry — segment 1 straddles two micro-batch
+    files, and the emitted (m_start, m_end, n_points) set equals the
+    oracled batch flight_segments on the same rows."""
+    from geotools_spark.operators.reclass import (
+        assign_flight_line,
+        flight_segments,
+    )
+    from geotools_spark.streaming.sessions import flight_segments_stream
+
+    times = (
+        [100.0 + 0.5 * i for i in range(101)]     # seg 1: [100, 150]
+        + [200.0 + 1.0 * i for i in range(31)]    # seg 2: [200, 230]
+        + [500.0 + 0.25 * i for i in range(81)]   # seg 3: [500, 520]
+    )
+    # constant src_id: the engine refuses a global streaming session
+    # aggregation (and folds literal keys), so keyless batch semantics
+    # ride a constant data column
+    schema = "pid long, gps_time double, src_id int"
+    rows = [(i, t, 0) for i, t in enumerate(times)]
+    batch_df = spark.createDataFrame(rows, schema)
+    segs = flight_segments(batch_df, gap=25.0)
+    want = {
+        (r.m_start, r.m_end): r.n
+        for r in assign_flight_line(batch_df, segs)
+        .groupBy("line_id")
+        .agg(
+            F.min("gps_time").alias("m_start"),
+            F.max("gps_time").alias("m_end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert len(want) == 3
+
+    # file order = batch order under maxFilesPerTrigger=1; cut INSIDE
+    # segment 1 so its state must carry across micro-batches
+    src = str(tmp_path / "segpts")
+    cuts = [(("a"), rows[:60]), (("b"), rows[60:140]), (("c"), rows[140:])]
+    for name, chunk in cuts:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            f"{src}/{name}"
+        )
+    # sentinel far past the end: advances the watermark so every real
+    # session closes and emits in append mode
+    spark.createDataFrame([(-1, 1.0e6, 0)], schema).coalesce(1).write.parquet(
+        f"{src}/d"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        flight_segments_stream(stream, gap=25.0, watermark_s=10.0)
+        .writeStream.format("memory")
+        .queryName("segs_st")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_segs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progress) >= 3, [p["numInputRows"] for p in q.recentProgress]
+    got = {
+        (r.m_start, r.m_end): r.n_points
+        for r in spark.sql("select * from segs_st").collect()
+        if r.m_start < 1.0e6  # sentinel session excluded
+    }
+    assert got == want  # exact bounds + per-segment counts
