@@ -326,6 +326,10 @@ def main() -> None:
         "bench_docs": N_BENCH_DOCS,
         "cores": spark.sparkContext.defaultParallelism,
     }
+    if head.get("flagship_trials"):
+        # full trial list (VERDICT r04 #6): the headline min carries a
+        # visible interval instead of a bare best-of
+        out["flagship_trials"] = head["flagship_trials"]
     print(json.dumps(out))
 
 
@@ -336,8 +340,9 @@ def flagship_main() -> None:
     generation + snapshot write, 8g + 32MB row groups) happens OUTSIDE
     the timed window, exactly as table ingestion would on a real
     cluster. Warm-up pass covers codegen + python-worker spin-up for
-    this plan shape; min of 3 because the host shows bursty CPU steal
-    (BENCH.md)."""
+    this plan shape; >=5 trials with the same >40%-disagreement
+    top-up rule as the suite (VERDICT r04 #6 — the standing 32M
+    number carries a defensible interval; all trials are reported)."""
     import shutil
     import tempfile
 
@@ -355,15 +360,29 @@ def flagship_main() -> None:
         )
         grid, tiles = flagship_from_docs(docs.limit(N_BENCH_DOCS // 20))
         _materialize_both(grid, tiles)
-        flagship_sec = float("inf")
-        for _ in range(3):
+        n_trials = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_TRIALS", "5"))
+        shots = []
+        for _ in range(n_trials):
             t0 = time.perf_counter()
             grid, tiles = flagship_from_docs(docs)
             _materialize_both(grid, tiles)
-            flagship_sec = min(flagship_sec, time.perf_counter() - t0)
+            shots.append(round(time.perf_counter() - t0, 3))
+        # disagreement top-up, same rule as the query suite
+        while (
+            (max(shots) - min(shots)) / max(min(shots), 1e-9) > DISAGREE_FRAC
+            and len(shots) < n_trials + 3
+        ):
+            t0 = time.perf_counter()
+            grid, tiles = flagship_from_docs(docs)
+            _materialize_both(grid, tiles)
+            shots.append(round(time.perf_counter() - t0, 3))
     finally:
         shutil.rmtree(snap_dir, ignore_errors=True)
-    print(json.dumps({"flagship_sec": round(flagship_sec, 3)}))
+    print(
+        json.dumps(
+            {"flagship_sec": min(shots), "flagship_trials": shots}
+        )
+    )
 
 
 if __name__ == "__main__":

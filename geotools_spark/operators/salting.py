@@ -139,6 +139,17 @@ def salted_cell_stats(
 ) -> DataFrame:
     """Two-phase salted equivalent of ``gridstats.cell_stats``.
 
+    Scale caveat, measured (BENCH.md round-5 skew A/B): for ALGEBRAIC
+    stats, plain ``cell_stats`` is already skew-immune — map-side
+    partial aggregation crushes a hot cell before the shuffle — so
+    this path's extra exchange never pays at local scale; its value is
+    compositional (a pre-balanced phase-1 frame). For HOLISTIC stats
+    the list-merge here balances the phase-1 sort but phase 2 still
+    re-materializes the hot cell's FULL value list on one reducer (it
+    is the first plan to OOM at 38M rows / 0.8 hot share) — use
+    ``exact_quantiles_by_value`` for skew-proof exact order statistics
+    at scale.
+
     ``salt_cols``: columns whose hash spreads a hot cell (default: the
     value column plus all non-group columns is overkill — we hash the
     value column and a monotonic id surrogate via
