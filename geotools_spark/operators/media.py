@@ -120,11 +120,24 @@ def synthetic_media(spark: SparkSession, refs: DataFrame) -> DataFrame:
                         payloads.append(codecs.encode_jpeg(px, quant=1))
                     else:
                         px = _gradient_pixels(int(seed), int(w), int(hh))
-                        payloads.append(
-                            codecs.encode_strip_tiff_u8(px)
-                            if int(fmt) == 1
-                            else codecs.encode_png(px, level=1)
-                        )
+                        if int(fmt) == 1:
+                            # hash-pick the strip compression so every
+                            # supported real-world TIFF layout (incl.
+                            # LZW/Deflate + horizontal predictor, the
+                            # GDAL defaults) flows through the
+                            # hash-gated decode; lossless, so the
+                            # decoded-pixel oracle is unchanged
+                            comp, pred = (
+                                ("none", 1), ("lzw", 2),
+                                ("deflate", 2), ("packbits", 1),
+                            )[int(seed) % 4]
+                            payloads.append(
+                                codecs.encode_strip_tiff_u8(
+                                    px, compression=comp, predictor=pred
+                                )
+                            )
+                        else:
+                            payloads.append(codecs.encode_png(px, level=1))
                 elif kd == "audio":
                     payloads.append(
                         codecs.encode_wav(_audio_samples(int(seed), int(dur)), rate=_RATE)

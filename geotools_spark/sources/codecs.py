@@ -172,6 +172,58 @@ def _packbits_encode(src: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_encode(src: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW with early change: MSB-first bit packing,
+    9..12-bit codes, Clear=256, EOI=257; the string table resets when
+    the next code would be 4094 (the spec's early-change reset point),
+    keeping any compliant reader — including GDAL/libtiff — in sync."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code = 258
+    width = 9
+    emit(256, width)  # spec: every strip starts with a Clear
+    omega = b""
+    for b in src:
+        cand = omega + bytes([b])
+        if cand in table:
+            omega = cand
+            continue
+        emit(table[omega], width)
+        table[cand] = next_code
+        next_code += 1
+        # early change: the DECODER grows its width when its table hits
+        # (1<<w)-1 entries, which happens as it mirrors this insert —
+        # so the encoder must widen at the same point
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == 4094:  # 12-bit early-change ceiling: reset
+            emit(256, width)
+            table = fresh()
+            next_code = 258
+            width = 9
+        omega = bytes([b])
+    if omega:
+        emit(table[omega], width)
+    emit(257, width)  # EndOfInformation
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)  # pad final byte
+    return bytes(out)
+
+
 def encode_strip_tiff_u8(
     arr: np.ndarray,
     *,
@@ -179,10 +231,10 @@ def encode_strip_tiff_u8(
     predictor: int = 1,
 ) -> bytes:
     """(h, w[, c]) uint8 -> classic little-endian TIFF, contiguous, one
-    strip. ``compression``: "none", "deflate" (tag 8, zlib), or
-    "packbits" (tag 32773); ``predictor``: 1 (none) or 2 (horizontal
-    differencing, deflate only — the layout real Deflate GeoTIFFs use).
-    Readable by sources.tiff.read_strip_tiff_bytes."""
+    strip. ``compression``: "none", "lzw" (tag 5), "deflate" (tag 8,
+    zlib), or "packbits" (tag 32773); ``predictor``: 1 (none) or 2
+    (horizontal differencing, lzw/deflate — the layout real compressed
+    GeoTIFFs use). Readable by sources.tiff.read_strip_tiff_bytes."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -196,9 +248,11 @@ def encode_strip_tiff_u8(
         payload = arr.tobytes()
     else:
         raise ValueError(f"predictor {predictor}")
-    comp_tag = {"none": 1, "deflate": 8, "packbits": 32773}[compression]
+    comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
     if compression == "deflate":
         data = zlib.compress(payload)
+    elif compression == "lzw":
+        data = _lzw_encode(payload)
     elif compression == "packbits":
         data = _packbits_encode(payload)
     else:

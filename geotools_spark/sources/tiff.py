@@ -4,9 +4,10 @@ Implemented from the public TIFF 6.0 specification — enough to load
 the NAD83v6VG velocity grid (little-endian, PlanarConfig=contig, one
 strip per row, float32 samples) plus the GeoTIFF ModelPixelScale /
 ModelTiepoint tags that define the affine geotransform. Compression:
-none (1), Deflate (8 / 32946, stdlib zlib), and PackBits (32773),
-with the horizontal-differencing Predictor (tag 317=2) real Deflate
-GeoTIFFs use (VERDICT r04 #5). GDAL is not available in this environment (SURVEY.md §7),
+none (1), LZW (5, TIFF 6.0 §13 with early change — GDAL's default
+``COMPRESS=LZW``), Deflate (8 / 32946, stdlib zlib), and PackBits
+(32773), with the horizontal-differencing Predictor (tag 317=2) real
+compressed GeoTIFFs use (VERDICT r04 #5). GDAL is not available in this environment (SURVEY.md §7),
 and this 200-line reader removes the dependency for the one raster the
 transform pipeline needs (reference loads the same file via GDAL at
 src/las2csrs.cpp:96-136).
@@ -31,6 +32,66 @@ def _read_tag_values(buf: bytes, bo: str, typ: int, count: int, val_off: int, in
         ints = struct.unpack(bo + "I" * (2 * count), raw)
         return [ints[2 * i] / ints[2 * i + 1] for i in range(count)]
     return raw
+
+
+def _lzw_decode(src: bytes, want: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, 9..12-bit codes,
+    ClearCode=256, EOI=257, with TIFF's *early-change* convention (the
+    code width grows one entry early, when the table reaches
+    ``(1 << width) - 1``). This is the compression most real-world
+    GeoTIFFs ship with (GDAL's default ``COMPRESS=LZW``)."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    old: bytes | None = None
+
+    def reset():
+        nonlocal table, width, old
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        old = None
+
+    reset()
+    n = len(src)
+    while len(out) < want:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | src[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:  # ClearCode
+            reset()
+            continue
+        if code == 257:  # EndOfInformation
+            break
+        if old is None:  # first code after a Clear is a literal
+            entry = table[code]
+            out += entry
+            old = entry
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK case
+                entry = old + old[:1]
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            table.append(old + entry[:1])
+            old = entry
+        # early change: the decoder's table lags the encoder's by one
+        # entry, so it must widen when ITS table reaches (1<<w)-2 —
+        # i.e. right after adding entry 510/1022/2046 (verified by
+        # exhaustive round-trip against the libtiff-counter encoder in
+        # sources/codecs._lzw_encode; offsets 0 and 1 desync)
+        if width < 12 and len(table) >= (1 << width) - 2:
+            width += 1
+    return bytes(out)
 
 
 def _packbits_decode(src: bytes, want: int) -> bytes:
@@ -90,9 +151,10 @@ def read_strip_tiff_bytes(buf: bytes):
     fmt = tags.get(339, [1] * spp)
     comp = int(tags.get(259, [1])[0])
     predictor = int(tags.get(317, [1])[0])
-    if comp not in (1, 8, 32946, 32773):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (none/Deflate/PackBits only)"
+            f"TIFF compression {comp} unsupported "
+            "(none/LZW/Deflate/PackBits only)"
         )
     if int(tags.get(284, [1])[0]) != 1:
         raise NotImplementedError("only contiguous planar config supported")
@@ -119,6 +181,8 @@ def read_strip_tiff_bytes(buf: bytes):
         want = nrows * width * spp * dt.itemsize
         if comp == 1:
             raw = buf[int(off) : int(off) + want]
+        elif comp == 5:  # LZW (TIFF 6.0 §13)
+            raw = _lzw_decode(buf[int(off) : int(off) + int(cnt)], want)
         elif comp in (8, 32946):  # Adobe Deflate / Deflate: zlib stream
             import zlib
 

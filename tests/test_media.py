@@ -226,7 +226,8 @@ def test_tiff_compressed_round_trips():
         arr = rng.randint(0, 256, size=shape).astype(np.uint8)
         a3 = arr if arr.ndim == 3 else arr[:, :, None]
         for comp, pred in [
-            ("none", 1), ("deflate", 1), ("deflate", 2), ("packbits", 1)
+            ("none", 1), ("deflate", 1), ("deflate", 2), ("packbits", 1),
+            ("lzw", 1), ("lzw", 2),
         ]:
             buf = codecs.encode_strip_tiff_u8(
                 arr, compression=comp, predictor=pred
@@ -238,6 +239,27 @@ def test_tiff_compressed_round_trips():
     b1 = codecs.encode_strip_tiff_u8(grad, compression="deflate", predictor=1)
     b2 = codecs.encode_strip_tiff_u8(grad, compression="deflate", predictor=2)
     assert len(b2) < len(b1)
+
+
+def test_tiff_lzw_width_growth_and_reset():
+    """LZW early-change width transitions (9->10->11->12 bits) and the
+    4094-entry Clear/reset both sit inside one strip: a 64 KiB
+    incompressible payload forces thousands of table inserts, and a
+    repetitive payload exercises long match extension. Round-trips must
+    be bit-exact (TIFF 6.0 spec 13; the early-change pairing is pinned
+    by construction - decoder offsets 0/+1 desync on exactly this
+    input)."""
+    rng = np.random.RandomState(11)
+    noisy = rng.randint(0, 256, size=(64, 1024)).astype(np.uint8)  # 64 KiB
+    runs = np.tile(np.repeat(np.arange(16), 13)[None, :], (60, 1)).astype(np.uint8)
+    for arr in (noisy, runs):
+        buf = codecs.encode_strip_tiff_u8(arr, compression="lzw")
+        data, _ = read_strip_tiff_bytes(buf)
+        assert np.array_equal(data[:, :, 0].astype(np.uint8), arr)
+    # compression actually compresses the compressible case
+    raw = codecs.encode_strip_tiff_u8(runs, compression="none")
+    lzw = codecs.encode_strip_tiff_u8(runs, compression="lzw")
+    assert len(lzw) < len(raw) // 4
 
 
 # ---------------------------------------------------------- operators
