@@ -121,19 +121,21 @@ def synthetic_media(spark: SparkSession, refs: DataFrame) -> DataFrame:
                     else:
                         px = _gradient_pixels(int(seed), int(w), int(hh))
                         if int(fmt) == 1:
-                            # hash-pick the strip compression so every
-                            # supported real-world TIFF layout (incl.
-                            # LZW/Deflate + horizontal predictor, the
+                            # hash-pick the layout so every supported
+                            # real-world TIFF shape (strip + tiled,
+                            # LZW/Deflate + horizontal predictor — the
                             # GDAL defaults) flows through the
                             # hash-gated decode; lossless, so the
                             # decoded-pixel oracle is unchanged
-                            comp, pred = (
-                                ("none", 1), ("lzw", 2),
-                                ("deflate", 2), ("packbits", 1),
-                            )[int(seed) % 4]
+                            comp, pred, tile = (
+                                ("none", 1, None), ("lzw", 2, None),
+                                ("deflate", 2, None), ("packbits", 1, None),
+                                ("lzw", 2, (16, 16)), ("deflate", 2, (16, 16)),
+                            )[int(seed) % 6]
                             payloads.append(
-                                codecs.encode_strip_tiff_u8(
-                                    px, compression=comp, predictor=pred
+                                codecs.encode_tiff(
+                                    px, compression=comp, predictor=pred,
+                                    tile=tile,
                                 )
                             )
                         else:

@@ -230,84 +230,168 @@ def encode_strip_tiff_u8(
     compression: str = "none",
     predictor: int = 1,
 ) -> bytes:
-    """(h, w[, c]) uint8 -> classic little-endian TIFF, contiguous, one
-    strip. ``compression``: "none", "lzw" (tag 5), "deflate" (tag 8,
-    zlib), or "packbits" (tag 32773); ``predictor``: 1 (none) or 2
-    (horizontal differencing, lzw/deflate — the layout real compressed
-    GeoTIFFs use). Readable by sources.tiff.read_strip_tiff_bytes."""
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    """Back-compat wrapper: (h, w[, c]) uint8 -> single-strip TIFF.
+    See :func:`encode_tiff` for the general writer."""
+    return encode_tiff(
+        np.ascontiguousarray(arr, dtype=np.uint8),
+        compression=compression,
+        predictor=predictor,
+    )
+
+
+def _tiff_predict(block: np.ndarray, predictor: int, dt: np.dtype) -> bytes:
+    """Apply the TIFF predictor to one strip/tile and serialize.
+    2 = per-channel horizontal differencing (integer samples);
+    3 = TechNote-3 float byte-split: per row, floats go big-endian,
+    the four significance streams concatenate MSB-first, then the
+    row's bytes are differenced with stride = samples-per-pixel
+    (libtiff fpDiff)."""
+    bh, bw, c = block.shape
+    if predictor == 1:
+        return np.ascontiguousarray(block, dt).tobytes()
+    if predictor == 2:
+        d = block.astype(np.int64)
+        d[:, 1:, :] = d[:, 1:, :] - block[:, :-1, :].astype(np.int64)
+        return (d % (1 << (dt.itemsize * 8))).astype(dt).tobytes()
+    if predictor == 3:
+        cc = bw * c * 4
+        be = (
+            np.ascontiguousarray(block, ">f4")
+            .view(np.uint8)
+            .reshape(bh, bw * c, 4)
+        )
+        streams = np.ascontiguousarray(np.transpose(be, (0, 2, 1))).reshape(
+            bh, cc // c, c
+        )
+        d = streams.astype(np.int16)
+        d[:, 1:, :] = d[:, 1:, :] - streams[:, :-1, :].astype(np.int16)
+        return (d % 256).astype(np.uint8).tobytes()
+    raise ValueError(f"predictor {predictor}")
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    *,
+    compression: str = "none",
+    predictor: int = 1,
+    tile: tuple[int, int] | None = None,
+) -> bytes:
+    """(h, w[, c]) uint8 / uint16 / float32 -> classic little-endian
+    TIFF, contiguous samples. ``compression``: "none", "lzw" (tag 5),
+    "deflate" (tag 8, zlib), or "packbits" (32773). ``predictor``:
+    1, 2 (horizontal differencing, integer samples), or 3 (float
+    byte-split, float32 — GDAL's recommended PREDICTOR=3 layout).
+    ``tile=(tw, th)`` writes the tiled organization (TIFF 6.0 §15,
+    tags 322-325, edge tiles zero-padded to full size — GDAL's
+    TILED=YES default for large GeoTIFFs); otherwise one strip.
+    Readable by sources.tiff.read_strip_tiff_bytes."""
+    arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
-    if predictor == 2:
-        # store per-row left-neighbor deltas (modulo 256)
-        d = arr.astype(np.int16)
-        d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
-        payload = (d % 256).astype(np.uint8).tobytes()
-    elif predictor == 1:
-        payload = arr.tobytes()
+    if arr.dtype == np.uint8:
+        bps, sfmt, dt = 8, 1, np.dtype("<u1")
+    elif arr.dtype == np.uint16:
+        bps, sfmt, dt = 16, 1, np.dtype("<u2")
+    elif arr.dtype == np.float32:
+        bps, sfmt, dt = 32, 3, np.dtype("<f4")
     else:
-        raise ValueError(f"predictor {predictor}")
+        raise ValueError(f"unsupported dtype {arr.dtype} (uint8/uint16/float32)")
+    if predictor == 2 and sfmt == 3:
+        raise ValueError("predictor 2 is integer-only; use 3 for float32")
+    if predictor == 3 and sfmt != 3:
+        raise ValueError("predictor 3 is float-only")
+
+    def compress(payload: bytes) -> bytes:
+        if compression == "deflate":
+            return zlib.compress(payload)
+        if compression == "lzw":
+            return _lzw_encode(payload)
+        if compression == "packbits":
+            return _packbits_encode(payload)
+        return payload
+
     comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
-    if compression == "deflate":
-        data = zlib.compress(payload)
-    elif compression == "lzw":
-        data = _lzw_encode(payload)
-    elif compression == "packbits":
-        data = _packbits_encode(payload)
+
+    blocks: list[bytes] = []
+    if tile is not None:
+        tw, th = tile
+        if tw % 16 or th % 16:
+            raise ValueError("TIFF tile dims must be multiples of 16")
+        down = (h + th - 1) // th
+        across = (w + tw - 1) // tw
+        padded = np.zeros((down * th, across * tw, c), dtype=arr.dtype)
+        padded[:h, :w] = arr
+        for ty in range(down):
+            for tx in range(across):
+                block = padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+                blocks.append(compress(_tiff_predict(block, predictor, dt)))
     else:
-        data = payload
-    # layout: header(8) + IFD + values + pixel data
-    tags = []  # (tag, type, count, value_or_offset, extra_bytes)
+        blocks.append(compress(_tiff_predict(arr, predictor, dt)))
 
-    def short(tag, v):
-        tags.append((tag, 3, 1, v, b""))
-
-    def long_(tag, v):
-        tags.append((tag, 4, 1, v, b""))
-
-    n_entries = 10 + (1 if predictor == 2 else 0)
-    ifd_off = 8
-    ifd_size = 2 + n_entries * 12 + 4
-    extra_off = ifd_off + ifd_size
-    bps_bytes = struct.pack("<" + "H" * c, *([8] * c))
-    sfmt_bytes = struct.pack("<" + "H" * c, *([1] * c))
-    extra = b""
-    # BitsPerSample (258) and SampleFormat (339): inline when c<=2
-    if c * 2 <= 4:
-        bps_val = int.from_bytes(bps_bytes.ljust(4, b"\0"), "little")
-        sfmt_val = int.from_bytes(sfmt_bytes.ljust(4, b"\0"), "little")
-        bps_entry = (258, 3, c, bps_val, b"")
-        sfmt_entry = (339, 3, c, sfmt_val, b"")
+    # --- IFD assembly: (tag, type, values) with >4-byte runs spilled
+    tags: list[tuple[int, int, list[int]]] = [
+        (256, 4, [w]),                 # ImageWidth
+        (257, 4, [h]),                 # ImageLength
+        (258, 3, [bps] * c),           # BitsPerSample
+        (259, 3, [comp_tag]),          # Compression
+        (262, 3, [2 if c >= 3 else 1]),  # Photometric: RGB / gray
+        (277, 3, [c]),                 # SamplesPerPixel
+        (339, 3, [sfmt] * c),          # SampleFormat
+    ]
+    if predictor != 1:
+        tags.append((317, 3, [predictor]))
+    if tile is not None:
+        tags.append((322, 4, [tw]))    # TileWidth
+        tags.append((323, 4, [th]))    # TileLength
+        tags.append((324, 4, [0] * len(blocks)))  # TileOffsets (patched)
+        tags.append((325, 4, [len(b) for b in blocks]))  # TileByteCounts
+        off_tag = 324
     else:
-        bps_entry = (258, 3, c, extra_off + len(extra), b"")
-        extra += bps_bytes
-        sfmt_entry = (339, 3, c, extra_off + len(extra), b"")
-        extra += sfmt_bytes
-    data_off = extra_off + len(extra)
-
-    long_(256, w)            # ImageWidth
-    long_(257, h)            # ImageLength
-    tags.append(bps_entry)   # BitsPerSample
-    short(259, comp_tag)     # Compression
-    short(262, 2 if c >= 3 else 1)  # Photometric: RGB / gray
-    long_(273, data_off)     # StripOffsets
-    short(277, c)            # SamplesPerPixel
-    long_(278, h)            # RowsPerStrip (single strip)
-    long_(279, len(data))    # StripByteCounts
-    if predictor == 2:
-        short(317, 2)        # Predictor: horizontal differencing
-    tags.append(sfmt_entry)  # SampleFormat: uint
+        tags.append((273, 4, [0]))     # StripOffsets (patched)
+        tags.append((278, 4, [h]))     # RowsPerStrip (single strip)
+        tags.append((279, 4, [len(blocks[0])]))  # StripByteCounts
+        off_tag = 273
     tags.sort(key=lambda t: t[0])
-    assert len(tags) == n_entries
+
+    type_fmt = {3: "H", 4: "I"}
+    type_size = {3: 2, 4: 4}
+    ifd_off = 8
+    ifd_size = 2 + len(tags) * 12 + 4
+    extra_off = ifd_off + ifd_size
+    # first pass: size the spill area
+    extra_size = sum(
+        type_size[typ] * len(vals)
+        for _, typ, vals in tags
+        if type_size[typ] * len(vals) > 4
+    )
+    data_off = extra_off + extra_size
+    # patch block offsets now that the layout is known
+    offs: list[int] = []
+    pos = data_off
+    for b in blocks:
+        offs.append(pos)
+        pos += len(b)
+    tags = [
+        (tag, typ, offs if tag == off_tag else vals) for tag, typ, vals in tags
+    ]
 
     out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
-    out += struct.pack("<H", n_entries)
-    for tag, typ, cnt, val, _ in tags:
-        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<H", len(tags))
+    extra = bytearray()
+    for tag, typ, vals in tags:
+        size = type_size[typ] * len(vals)
+        packed = struct.pack("<" + type_fmt[typ] * len(vals), *vals)
+        if size <= 4:
+            out += struct.pack("<HHI", tag, typ, len(vals)) + packed.ljust(4, b"\0")
+        else:
+            out += struct.pack("<HHII", tag, typ, len(vals), extra_off + len(extra))
+            extra += packed
     out += struct.pack("<I", 0)  # next IFD
+    assert len(extra) == extra_size
     out += extra
-    out += data
+    for b in blocks:
+        out += b
     return bytes(out)
 
 

@@ -112,6 +112,49 @@ def _packbits_decode(src: bytes, want: int) -> bytes:
     return bytes(out)
 
 
+def _decompress(buf: bytes, off: int, cnt: int, comp: int, want: int) -> bytes:
+    """Decode one strip/tile payload to exactly ``want`` raw bytes."""
+    if comp == 1:
+        return buf[off : off + want]
+    if comp == 5:  # LZW (TIFF 6.0 §13)
+        return _lzw_decode(buf[off : off + cnt], want)
+    if comp in (8, 32946):  # Adobe Deflate / Deflate: zlib stream
+        import zlib
+
+        return zlib.decompress(buf[off : off + cnt])
+    return _packbits_decode(buf[off : off + cnt], want)  # 32773 PackBits
+
+
+def _undo_predictor(raw: bytes, nrows: int, width: int, spp: int, dt, predictor: int):
+    """Raw strip/tile bytes -> (nrows, width, spp) ndarray of ``dt``,
+    undoing TIFF horizontal differencing (predictor 2, per-channel
+    modular cumsum along the row) or the TechNote-3 floating-point
+    predictor (3): per row, bytes are cumsummed with stride ``spp``
+    then the four byte-significance streams (MSB first) reassemble
+    into big-endian float32 — the libtiff fpAcc layout."""
+    if predictor == 3:
+        cc = width * spp * 4
+        b = np.frombuffer(raw, np.uint8, nrows * cc).reshape(nrows, cc)
+        # byte-wise accumulate with stride spp across the whole row
+        acc = (
+            np.cumsum(b.reshape(nrows, cc // spp, spp).astype(np.uint64), axis=1)
+            & 0xFF
+        ).astype(np.uint8)
+        # streams: row = [all MSBs][byte1s][byte2s][all LSBs]
+        streams = acc.reshape(nrows, 4, width * spp)
+        be = np.ascontiguousarray(np.transpose(streams, (0, 2, 1)))
+        return be.view(">f4").reshape(nrows, width, spp)
+    block = np.frombuffer(raw, dtype=dt, count=nrows * width * spp).reshape(
+        nrows, width, spp
+    )
+    if predictor == 2:
+        # horizontal differencing: each sample stores the delta to its
+        # left neighbor (per channel); undo with a modular cumsum
+        # (astype back to dt wraps at the sample width)
+        block = np.cumsum(block.astype(np.uint64), axis=1).astype(dt)
+    return block
+
+
 def read_strip_tiff(path: str):
     """Read bands + geotransform from an uncompressed strip TIFF file.
 
@@ -162,42 +205,48 @@ def read_strip_tiff_bytes(buf: bytes):
         dt = np.dtype(bo + "f4")
     elif all(int(b) == 8 for b in bps) and all(int(f) == 1 for f in fmt):
         dt = np.dtype("u1")
+    elif all(int(b) == 16 for b in bps) and all(int(f) == 1 for f in fmt):
+        dt = np.dtype(bo + "u2")
     else:
-        raise NotImplementedError("only float32 or uint8 samples supported")
+        raise NotImplementedError("only float32, uint8, or uint16 samples supported")
     if predictor == 2 and dt.kind != "u":
         # TIFF 6.0 horizontal differencing is defined on integer data;
-        # float data uses predictor 3 (byte-split), not implemented
+        # float data uses predictor 3 (byte-split, below)
         raise NotImplementedError("predictor 2 on non-integer samples")
-    if predictor not in (1, 2):
+    if predictor == 3 and dt.kind != "f":
+        raise NotImplementedError("predictor 3 on non-float samples")
+    if predictor not in (1, 2, 3):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
 
-    offsets = tags[273]
-    counts = tags[279]
-    rows_per_strip = int(tags.get(278, [height])[0])
     data = np.empty((height, width, spp), dtype=np.float64)
-    row = 0
-    for off, cnt in zip(offsets, counts):
-        nrows = min(rows_per_strip, height - row)
-        want = nrows * width * spp * dt.itemsize
-        if comp == 1:
-            raw = buf[int(off) : int(off) + want]
-        elif comp == 5:  # LZW (TIFF 6.0 §13)
-            raw = _lzw_decode(buf[int(off) : int(off) + int(cnt)], want)
-        elif comp in (8, 32946):  # Adobe Deflate / Deflate: zlib stream
-            import zlib
-
-            raw = zlib.decompress(buf[int(off) : int(off) + int(cnt)])
-        else:  # 32773 PackBits (TIFF 6.0 §9)
-            raw = _packbits_decode(buf[int(off) : int(off) + int(cnt)], want)
-        strip = np.frombuffer(raw, dtype=dt, count=nrows * width * spp)
-        block = strip.reshape(nrows, width, spp)
-        if predictor == 2:
-            # horizontal differencing: each sample stores the delta to
-            # its left neighbor (per channel); undo with a modular
-            # cumulative sum along the row
-            block = np.cumsum(block.astype(np.uint64), axis=1).astype(dt)
-        data[row : row + nrows] = block.astype(np.float64)
-        row += nrows
+    if 322 in tags:  # tiled organization (TIFF 6.0 §15) — GDAL's
+        # default layout for large GeoTIFFs (TILED=YES, 256x256)
+        tw = int(tags[322][0])
+        th = int(tags[323][0])
+        offsets = tags[324]
+        counts = tags[325]
+        tiles_across = (width + tw - 1) // tw
+        want = th * tw * spp * dt.itemsize  # tiles are padded to full size
+        for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+            raw = _decompress(buf, int(off), int(cnt), comp, want)
+            block = _undo_predictor(raw, th, tw, spp, dt, predictor)
+            ty, tx = divmod(idx, tiles_across)
+            y0, x0 = ty * th, tx * tw
+            vh = min(th, height - y0)
+            vw = min(tw, width - x0)
+            data[y0 : y0 + vh, x0 : x0 + vw] = block[:vh, :vw].astype(np.float64)
+    else:  # strip organization
+        offsets = tags[273]
+        counts = tags[279]
+        rows_per_strip = int(tags.get(278, [height])[0])
+        row = 0
+        for off, cnt in zip(offsets, counts):
+            nrows = min(rows_per_strip, height - row)
+            want = nrows * width * spp * dt.itemsize
+            raw = _decompress(buf, int(off), int(cnt), comp, want)
+            block = _undo_predictor(raw, nrows, width, spp, dt, predictor)
+            data[row : row + nrows] = block.astype(np.float64)
+            row += nrows
 
     scale = tags.get(33550, [1.0, 1.0, 0.0])
     tie = tags.get(33922, [0.0] * 6)

@@ -241,6 +241,52 @@ def test_tiff_compressed_round_trips():
     assert len(b2) < len(b1)
 
 
+def test_tiff_tiled_uint16_float32_round_trips():
+    """Round-5 real-world layouts: the tiled organization (TIFF 6.0
+    §15, tags 322-325 — GDAL's TILED=YES default), uint16 samples, and
+    the TechNote-3 float predictor (PREDICTOR=3) all round-trip
+    bit-exactly, including edge tiles narrower than the tile size."""
+    rng = np.random.RandomState(19)
+    a8 = rng.randint(0, 256, size=(37, 53, 3)).astype(np.uint8)
+    a16 = rng.randint(0, 65536, size=(41, 29)).astype(np.uint16)
+    f32 = rng.normal(0, 100, size=(33, 47)).astype(np.float32)
+    f32c3 = rng.normal(0, 10, size=(25, 31, 3)).astype(np.float32)
+    cases = [
+        (a16, dict(compression="deflate", predictor=2)),
+        (a16, dict(compression="lzw", predictor=2)),
+        (f32, dict(compression="deflate", predictor=3)),
+        (f32c3, dict(compression="deflate", predictor=3)),
+        (a8, dict(tile=(16, 16), compression="lzw", predictor=2)),
+        (a16, dict(tile=(16, 32), compression="deflate", predictor=2)),
+        (f32, dict(tile=(32, 16), compression="deflate", predictor=3)),
+        (f32, dict(tile=(16, 16), compression="packbits")),
+    ]
+    for arr, kw in cases:
+        buf = codecs.encode_tiff(arr, **kw)
+        data, _ = read_strip_tiff_bytes(buf)
+        ref = arr if arr.ndim == 3 else arr[:, :, None]
+        assert np.array_equal(data, ref.astype(np.float64)), kw
+    # predictor 3 earns its keep on smooth float content
+    smooth = np.linspace(0.0, 500.0, 64 * 64).reshape(64, 64).astype(np.float32)
+    p1 = codecs.encode_tiff(smooth, compression="deflate", predictor=1)
+    p3 = codecs.encode_tiff(smooth, compression="deflate", predictor=3)
+    assert len(p3) < len(p1)
+
+
+def test_tiff_predictor3_byte_layout_pinned():
+    """The fpDiff byte order is pinned against a hand-computed vector
+    so a symmetric encode/decode mistake can't hide behind the
+    round-trip: row [1.0f, 2.0f] big-endians to 3F800000 40000000,
+    splits MSB-first to 3F 40 80 00 00 00 00 00, and stride-1
+    differencing gives 3F 01 40 80 00 00 00 00 (libtiff
+    tif_predict.c fpDiff semantics)."""
+    arr = np.array([[1.0, 2.0]], dtype=np.float32)
+    buf = codecs.encode_tiff(arr, predictor=3)  # uncompressed
+    assert buf[-8:] == bytes.fromhex("3F01408000000000")
+    data, _ = read_strip_tiff_bytes(buf)
+    assert np.array_equal(data[:, :, 0], arr.astype(np.float64))
+
+
 def test_tiff_lzw_width_growth_and_reset():
     """LZW early-change width transitions (9->10->11->12 bits) and the
     4094-entry Clear/reset both sit inside one strip: a 64 KiB
