@@ -275,6 +275,7 @@ def encode_tiff(
     compression: str = "none",
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
+    bigtiff: bool = False,
 ) -> bytes:
     """(h, w[, c]) uint8 / uint16 / float32 -> classic little-endian
     TIFF, contiguous samples. ``compression``: "none", "lzw" (tag 5),
@@ -284,6 +285,8 @@ def encode_tiff(
     ``tile=(tw, th)`` writes the tiled organization (TIFF 6.0 §15,
     tags 322-325, edge tiles zero-padded to full size — GDAL's
     TILED=YES default for large GeoTIFFs); otherwise one strip.
+    ``bigtiff=True`` writes the BigTIFF variant (version 43, 8-byte
+    offsets, LONG8 offset arrays — what GDAL emits for >4 GB rasters).
     Readable by sources.tiff.read_strip_tiff_bytes."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
@@ -341,29 +344,35 @@ def encode_tiff(
     ]
     if predictor != 1:
         tags.append((317, 3, [predictor]))
+    off_type = 16 if bigtiff else 4  # LONG8 offset arrays in BigTIFF
     if tile is not None:
         tags.append((322, 4, [tw]))    # TileWidth
         tags.append((323, 4, [th]))    # TileLength
-        tags.append((324, 4, [0] * len(blocks)))  # TileOffsets (patched)
+        tags.append((324, off_type, [0] * len(blocks)))  # TileOffsets (patched)
         tags.append((325, 4, [len(b) for b in blocks]))  # TileByteCounts
         off_tag = 324
     else:
-        tags.append((273, 4, [0]))     # StripOffsets (patched)
+        tags.append((273, off_type, [0]))  # StripOffsets (patched)
         tags.append((278, 4, [h]))     # RowsPerStrip (single strip)
         tags.append((279, 4, [len(blocks[0])]))  # StripByteCounts
         off_tag = 273
     tags.sort(key=lambda t: t[0])
 
-    type_fmt = {3: "H", 4: "I"}
-    type_size = {3: 2, 4: 4}
-    ifd_off = 8
-    ifd_size = 2 + len(tags) * 12 + 4
+    type_fmt = {3: "H", 4: "I", 16: "Q"}
+    type_size = {3: 2, 4: 4, 16: 8}
+    inline = 8 if bigtiff else 4       # value slot width in an entry
+    if bigtiff:
+        ifd_off = 16
+        ifd_size = 8 + len(tags) * 20 + 8
+    else:
+        ifd_off = 8
+        ifd_size = 2 + len(tags) * 12 + 4
     extra_off = ifd_off + ifd_size
     # first pass: size the spill area
     extra_size = sum(
         type_size[typ] * len(vals)
         for _, typ, vals in tags
-        if type_size[typ] * len(vals) > 4
+        if type_size[typ] * len(vals) > inline
     )
     data_off = extra_off + extra_size
     # patch block offsets now that the layout is known
@@ -376,18 +385,24 @@ def encode_tiff(
         (tag, typ, offs if tag == off_tag else vals) for tag, typ, vals in tags
     ]
 
-    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
-    out += struct.pack("<H", len(tags))
+    if bigtiff:
+        out = bytearray(struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off))
+        out += struct.pack("<Q", len(tags))
+    else:
+        out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+        out += struct.pack("<H", len(tags))
+    cnt_fmt = "Q" if bigtiff else "I"
     extra = bytearray()
     for tag, typ, vals in tags:
         size = type_size[typ] * len(vals)
         packed = struct.pack("<" + type_fmt[typ] * len(vals), *vals)
-        if size <= 4:
-            out += struct.pack("<HHI", tag, typ, len(vals)) + packed.ljust(4, b"\0")
+        out += struct.pack("<HH" + cnt_fmt, tag, typ, len(vals))
+        if size <= inline:
+            out += packed.ljust(inline, b"\0")
         else:
-            out += struct.pack("<HHII", tag, typ, len(vals), extra_off + len(extra))
+            out += struct.pack("<" + cnt_fmt, extra_off + len(extra))
             extra += packed
-    out += struct.pack("<I", 0)  # next IFD
+    out += struct.pack("<" + cnt_fmt, 0)  # next IFD
     assert len(extra) == extra_size
     out += extra
     for b in blocks:

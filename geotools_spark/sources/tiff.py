@@ -19,13 +19,18 @@ import struct
 
 import numpy as np
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZES = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4,
+    12: 8, 16: 8, 17: 8, 18: 8,  # 16-18: BigTIFF LONG8/SLONG8/IFD8
+}
+_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 
-def _read_tag_values(buf: bytes, bo: str, typ: int, count: int, val_off: int, inline: bytes):
+def _read_tag_values(
+    buf: bytes, bo: str, typ: int, count: int, val_off: int, inline: bytes
+):
     size = _TYPE_SIZES[typ] * count
-    raw = inline[:size] if size <= 4 else buf[val_off : val_off + size]
+    raw = inline[:size] if size <= len(inline) else buf[val_off : val_off + size]
     if typ in _TYPE_FMT:
         return list(struct.unpack(bo + _TYPE_FMT[typ] * count, raw))
     if typ == 5:  # RATIONAL
@@ -176,16 +181,30 @@ def read_strip_tiff_bytes(buf: bytes):
         bo = ">"
     else:
         raise ValueError("not a TIFF")
-    magic, ifd_off = struct.unpack(bo + "HI", buf[2:8])
-    if magic != 42:
-        raise ValueError("not a classic TIFF")
+    magic = struct.unpack(bo + "H", buf[2:4])[0]
     tags: dict[int, list] = {}
-    n = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])[0]
-    for i in range(n):
-        e = buf[ifd_off + 2 + i * 12 : ifd_off + 14 + i * 12]
-        tag, typ, count = struct.unpack(bo + "HHI", e[:8])
-        val_off = struct.unpack(bo + "I", e[8:12])[0]
-        tags[tag] = _read_tag_values(buf, bo, typ, count, val_off, e[8:12])
+    if magic == 42:  # classic TIFF: 4-byte offsets, 12-byte entries
+        ifd_off = struct.unpack(bo + "I", buf[4:8])[0]
+        n = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])[0]
+        for i in range(n):
+            e = buf[ifd_off + 2 + i * 12 : ifd_off + 14 + i * 12]
+            tag, typ, count = struct.unpack(bo + "HHI", e[:8])
+            val_off = struct.unpack(bo + "I", e[8:12])[0]
+            tags[tag] = _read_tag_values(buf, bo, typ, count, val_off, e[8:12])
+    elif magic == 43:  # BigTIFF: 8-byte offsets, 20-byte entries —
+        # what GDAL writes for >4 GB rasters (BIGTIFF=YES / IF_SAFER)
+        offsize, zero, ifd_off = struct.unpack(bo + "HHQ", buf[4:16])
+        if offsize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        n = struct.unpack(bo + "Q", buf[ifd_off : ifd_off + 8])[0]
+        for i in range(n):
+            e = buf[ifd_off + 8 + i * 20 : ifd_off + 28 + i * 20]
+            tag, typ = struct.unpack(bo + "HH", e[:4])
+            count = struct.unpack(bo + "Q", e[4:12])[0]
+            val_off = struct.unpack(bo + "Q", e[12:20])[0]
+            tags[tag] = _read_tag_values(buf, bo, typ, count, val_off, e[12:20])
+    else:
+        raise ValueError("not a TIFF (bad version)")
 
     width = int(tags[256][0])
     height = int(tags[257][0])

@@ -273,6 +273,28 @@ def test_tiff_tiled_uint16_float32_round_trips():
     assert len(p3) < len(p1)
 
 
+def test_bigtiff_round_trips():
+    """BigTIFF (version 43, 8-byte offsets, LONG8 offset arrays — the
+    container GDAL writes for >4 GB rasters) round-trips across strip
+    and tiled organizations, all sample types, and both predictors."""
+    rng = np.random.RandomState(23)
+    a8 = rng.randint(0, 256, size=(37, 53, 3)).astype(np.uint8)
+    a16 = rng.randint(0, 65536, size=(19, 45)).astype(np.uint16)
+    f32 = rng.normal(0, 5, size=(33, 47)).astype(np.float32)
+    cases = [
+        (a8, dict(bigtiff=True)),
+        (a16, dict(bigtiff=True, compression="deflate", predictor=2)),
+        (f32, dict(bigtiff=True, tile=(16, 16), compression="deflate", predictor=3)),
+        (f32, dict(bigtiff=True, tile=(32, 16), compression="lzw", predictor=3)),
+    ]
+    for arr, kw in cases:
+        buf = codecs.encode_tiff(arr, **kw)
+        assert buf[2] == 43  # BigTIFF version
+        data, _ = read_strip_tiff_bytes(buf)
+        ref = arr if arr.ndim == 3 else arr[:, :, None]
+        assert np.array_equal(data, ref.astype(np.float64)), kw
+
+
 def test_tiff_predictor3_byte_layout_pinned():
     """The fpDiff byte order is pinned against a hand-computed vector
     so a symmetric encode/decode mistake can't hide behind the
