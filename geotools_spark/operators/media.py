@@ -117,7 +117,18 @@ def synthetic_media(spark: SparkSession, refs: DataFrame) -> DataFrame:
                 if kd == "image":
                     if int(fmt) == 2:  # JPEG: block-flat content, exact
                         px = _blockflat_pixels(int(seed), int(w), int(hh))
-                        payloads.append(codecs.encode_jpeg(px, quant=1))
+                        # hash-pick baseline vs progressive (SOF2):
+                        # both decode block-flat q=1 content bit-
+                        # exactly (pinned by tests), so the decoded-
+                        # pixel oracle is unchanged while the hash
+                        # gate exercises the multi-scan decode path
+                        payloads.append(
+                            codecs.encode_jpeg(
+                                px,
+                                quant=1,
+                                progressive=int(seed) % 2 == 1,
+                            )
+                        )
                     else:
                         px = _gradient_pixels(int(seed), int(w), int(hh))
                         if int(fmt) == 1:

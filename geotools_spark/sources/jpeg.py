@@ -16,7 +16,12 @@ Scope (honest subset, like the other codecs in this package):
   intervals, and inverts the BT.601 YCbCr transform when component
   ids are 1/2/3; the encoder can produce all three via
   ``subsample="420"``, ``restart_interval=N``, ``ycbcr=True``.
-  Progressive (SOF2) and arithmetic coding still raise
+- Progressive (SOF2, T.81 Annex G): decoder handles all four scan
+  kinds (DC first/refine, AC first/refine with EOBn run symbols) via
+  a cross-scan coefficient store; encoder emits a libjpeg-style
+  spectral-selection + successive-approximation scan script
+  (``progressive=True``) that decodes bit-identically to the
+  baseline stream. Arithmetic coding still raises
   NotImplementedError rather than mis-decoding.
 
 Exactness property used by the hash-gated oracle fixtures: a block
@@ -103,6 +108,17 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
 _DC_ENC = _canonical_codes(_DC_BITS, _DC_VALS)
 _AC_ENC = _canonical_codes(_AC_BITS, _AC_VALS)
 
+# Progressive AC table: Annex K lacks the EOBn (n>=1) symbols that
+# progressive scans emit, so the progressive encoder ships its own
+# DHT covering ALL 256 run/size symbols — 128 codes at 8 bits + 128
+# at 9 (Kraft sum 0.75, all-ones codeword unused). Unoptimized on
+# purpose: fixture plumbing, not the unit under test (real files
+# carry optimized per-scan tables; the decoder reads whatever DHT
+# says).
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = list(range(256))
+_PROG_AC_ENC = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
 
 class _BitWriter:
     def __init__(self) -> None:
@@ -149,6 +165,199 @@ def _to_blocks(chan: np.ndarray) -> np.ndarray:
     )
 
 
+def _encode_progressive(
+    rows, samp, nbx_c, mcux, mcuy, h, w, c, comp_ids
+) -> list[tuple[bytes, bytes]]:
+    """Emit a libjpeg-style progressive scan script over quantized
+    zigzag coefficients -> [(SOS payload, entropy bytes)] per scan.
+
+    Script: interleaved DC first (Al=1); per-component AC first split
+    Ss=1-5 / 6-63 at Al=2; AC refine to Al=1; DC refine to Al=0; AC
+    refine to Al=0 — all four T.81 G.1.2 scan kinds, two successive-
+    approximation levels, spectral selection. Successive approximation
+    of integer coefficients is exact once fully refined, so the
+    progressive stream decodes BIT-IDENTICALLY to the baseline stream
+    of the same image (the cross-check the tests pin)."""
+    hmax = max(s[0] for s in samp[:c])
+    vmax = max(s[1] for s in samp[:c])
+    ntrue = []
+    for ci in range(c):
+        hi, vi = samp[ci]
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        ntrue.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    def dc_scan(al, refine: bool) -> bytes:
+        bw = _BitWriter()
+        pred = [0] * c
+        if c > 1:  # interleaved MCU order over the padded grid
+            order = []
+            for m in range(mcuy * mcux):
+                my, mx = divmod(m, mcux)
+                for ci in range(c):
+                    hi, vi = samp[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            order.append(
+                                (ci, (my * vi + v) * nbx_c[ci] + (mx * hi + hh))
+                            )
+        else:  # single component: non-interleaved true grid
+            nby_t, nbx_t = ntrue[0]
+            order = [
+                (0, by * nbx_c[0] + bx)
+                for by in range(nby_t)
+                for bx in range(nbx_t)
+            ]
+        for ci, bi in order:
+            v0 = rows[ci][bi][0]
+            if refine:
+                bw.put((v0 >> al) & 1, 1)
+                continue
+            val = v0 >> al  # DC point transform is an arithmetic shift
+            diff = val - pred[ci]
+            pred[ci] = val
+            size, extra = _magnitude(diff)
+            code, ln = _DC_ENC[size]
+            bw.put(code, ln)
+            if size:
+                bw.put(extra, size)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_first(ci, ss, se, al) -> bytes:
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                rb = eobrun.bit_length() - 1
+                code, ln = _PROG_AC_ENC[rb << 4]
+                bw.put(code, ln)
+                if rb:
+                    bw.put(eobrun - (1 << rb), rb)
+                eobrun = 0
+
+        nby_t, nbx_t = ntrue[ci]
+        for by in range(nby_t):
+            for bx in range(nbx_t):
+                zz = rows[ci][by * nbx_c[ci] + bx]
+                r, wrote = 0, False
+                for k in range(ss, se + 1):
+                    v = zz[k]
+                    t = abs(v) >> al  # AC point transform: magnitude shift
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        code, ln = _PROG_AC_ENC[0xF0]
+                        bw.put(code, ln)
+                        r -= 16
+                    size, extra = _magnitude(t if v > 0 else -t)
+                    code, ln = _PROG_AC_ENC[(r << 4) | size]
+                    bw.put(code, ln)
+                    bw.put(extra, size)
+                    r, wrote = 0, True
+                if r > 0 or not wrote:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_refine(ci, ss, se, al) -> bytes:
+        # libjpeg encode_mcu_AC_refine structure: correction bits for
+        # already-nonzero coefficients buffer until the next emitted
+        # symbol (cur) or travel with the pending EOB run (run_bits)
+        bw = _BitWriter()
+        eobrun = 0
+        run_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, run_bits
+            if eobrun:
+                rb = eobrun.bit_length() - 1
+                code, ln = _PROG_AC_ENC[rb << 4]
+                bw.put(code, ln)
+                if rb:
+                    bw.put(eobrun - (1 << rb), rb)
+                eobrun = 0
+                for b in run_bits:
+                    bw.put(b, 1)
+                run_bits = []
+
+        nby_t, nbx_t = ntrue[ci]
+        for by in range(nby_t):
+            for bx in range(nbx_t):
+                zz = rows[ci][by * nbx_c[ci] + bx]
+                absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+                eobpos = ss - 1
+                for k in range(ss, se + 1):
+                    if absv[k - ss] == 1:
+                        eobpos = k
+                r, cur = 0, []
+                for k in range(ss, se + 1):
+                    t = absv[k - ss]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eobpos:
+                        flush_eob()
+                        code, ln = _PROG_AC_ENC[0xF0]
+                        bw.put(code, ln)
+                        r -= 16
+                        for b in cur:
+                            bw.put(b, 1)
+                        cur = []
+                    if t > 1:  # history coefficient: buffer correction bit
+                        cur.append(t & 1)
+                        continue
+                    flush_eob()
+                    code, ln = _PROG_AC_ENC[(r << 4) | 1]
+                    bw.put(code, ln)
+                    bw.put(0 if zz[k] < 0 else 1, 1)
+                    for b in cur:
+                        bw.put(b, 1)
+                    cur, r = [], 0
+                if r > 0 or cur:
+                    eobrun += 1
+                    run_bits.extend(cur)
+                    if eobrun == 0x7FFF or len(run_bits) > 900:
+                        flush_eob()
+        flush_eob()
+        bw.flush()
+        return bytes(bw.out)
+
+    script: list[tuple[list[int], int, int, int, int]] = [
+        (list(range(c)), 0, 0, 0, 1)
+    ]
+    script += [([ci], 1, 5, 0, 2) for ci in range(c)]
+    script += [([ci], 6, 63, 0, 2) for ci in range(c)]
+    script += [([ci], 1, 63, 2, 1) for ci in range(c)]
+    script += [(list(range(c)), 0, 0, 1, 0)]
+    script += [([ci], 1, 63, 1, 0) for ci in range(c)]
+
+    out = []
+    for comp_list, ss, se, ah, al in script:
+        sos = (
+            struct.pack(">B", len(comp_list))
+            + b"".join(
+                struct.pack(">BB", comp_ids[ci], 0x00) for ci in comp_list
+            )
+            + struct.pack(">BBB", ss, se, (ah << 4) | al)
+        )
+        if ss == 0:
+            data = dc_scan(al, refine=ah > 0)
+        elif ah == 0:
+            data = ac_first(comp_list[0], ss, se, al)
+        else:
+            data = ac_refine(comp_list[0], ss, se, al)
+        out.append((sos, data))
+    return out
+
+
 def encode_jpeg(
     arr: np.ndarray,
     *,
@@ -156,6 +365,7 @@ def encode_jpeg(
     subsample: str = "444",
     ycbcr: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode (h, w[, c]) uint8 (c in {1, 3}) -> baseline JPEG bytes.
 
@@ -175,6 +385,8 @@ def encode_jpeg(
         raise ValueError(f"unsupported channel count {c}")
     if subsample not in ("444", "420"):
         raise ValueError(f"unsupported subsample {subsample}")
+    if progressive and restart_interval:
+        raise ValueError("progressive encode does not support DRI")
     sub = subsample == "420" and c == 3
     q = int(quant)
     qtab = np.full(64, q, dtype=np.int64)
@@ -231,7 +443,7 @@ def encode_jpeg(
     pred = [0] * c
     rst = 0
     n_mcu = mcuy * mcux
-    for m in range(n_mcu):
+    for m in range(0 if progressive else n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             bw.flush()
             bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
@@ -280,19 +492,30 @@ def encode_jpeg(
     else:
         comp_ids = [0x52, 0x47, 0x42][:c] if c == 3 else [0x47]
     dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in qtab))
+    ac_bits, ac_vals = (
+        (_PROG_AC_BITS, _PROG_AC_VALS) if progressive else (_AC_BITS, _AC_VALS)
+    )
     dht = seg(
         0xFFC4,
         bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
-        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS),
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals),
     )
     sof = seg(
-        0xFFC0,
+        0xFFC2 if progressive else 0xFFC0,
         struct.pack(">BHHB", 8, h, w, c)
         + b"".join(
             struct.pack(">BBB", cid, (s[0] << 4) | s[1], 0)
             for cid, s in zip(comp_ids, samp)
         ),
     )
+    if progressive:
+        body = b"".join(
+            seg(0xFFDA, sospay) + data
+            for sospay, data in _encode_progressive(
+                rows, samp, nbx_c, mcux, mcuy, h, w, c, comp_ids
+            )
+        )
+        return b"\xff\xd8" + dqt + dht + sof + body + b"\xff\xd9"
     dri = (
         seg(0xFFDD, struct.pack(">H", restart_interval))
         if restart_interval
@@ -404,6 +627,209 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _entropy_end(buf: bytes, start: int) -> int:
+    """Index of the first real marker (not stuffed FF00, not RSTn)
+    after ``start`` — the end of one scan's entropy-coded segment."""
+    p, n = start, len(buf)
+    while p < n - 1:
+        if buf[p] == 0xFF:
+            nxt = buf[p + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return p
+            p += 2
+        else:
+            p += 1
+    return n
+
+
+class _ProgState:
+    """Per-component coefficient store for progressive (SOF2) decode.
+
+    Coefficients accumulate across scans in ZIGZAG order, int32, one
+    row per 8x8 block on the MCU-padded grid; pixels materialize only
+    at EOI (T.81 G.2). ``ntrue`` is each component's un-padded block
+    grid (non-interleaved scans cover exactly that, G.2 / A.2.2)."""
+
+    def __init__(self, comps, h, w):
+        self.hmax = max(hi for _, hi, _, _ in comps)
+        self.vmax = max(vi for _, _, vi, _ in comps)
+        for _, hi, vi, _ in comps:
+            if not hi or not vi or self.hmax % hi or self.vmax % vi:
+                raise NotImplementedError("non-integral sampling ratio")
+        self.mcux = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.nbx_pad = [self.mcux * hi for _, hi, _, _ in comps]
+        self.nby_pad = [self.mcuy * vi for _, _, vi, _ in comps]
+        self.ntrue = []
+        for _, hi, vi, _ in comps:
+            cw = (w * hi + self.hmax - 1) // self.hmax
+            ch = (h * vi + self.vmax - 1) // self.vmax
+            self.ntrue.append(((ch + 7) // 8, (cw + 7) // 8))
+        self.coefs = [
+            np.zeros((self.nby_pad[i] * self.nbx_pad[i], 64), dtype=np.int32)
+            for i in range(len(comps))
+        ]
+
+
+def _prog_decode_scan(
+    st: _ProgState, data: bytes, scan, comps, htabs, ss, se, ah, al, ri
+) -> None:
+    """Decode one progressive scan into the coefficient store.
+
+    Implements the four T.81 G.2 scan kinds: DC first (G.2.1, point
+    transform = arithmetic shift), DC refine (one raw bit per block),
+    AC first (G.2.2, EOBn run symbols), AC refine (correction bits
+    interleaved with the zero-run walk). AC scans are single-component
+    and walk the component's true (un-padded) block grid."""
+    br = _BitReader(data)
+    if ss == 0:  # DC scan (first or refine); spec: Se must be 0
+        if se != 0:
+            raise ValueError("invalid progressive scan header (Ss=0, Se!=0)")
+        info = []
+        for cs, td, _ta in scan:
+            ci = next(i for i, (cid, *_r) in enumerate(comps) if cid == cs)
+            _, hi, vi, _ = comps[ci]
+            info.append((ci, hi, vi, htabs[(0, td)] if ah == 0 else None))
+        pred = {ci: 0 for ci, *_r in info}
+
+        def dc_block(ci, dcd, bi):
+            col = st.coefs[ci]
+            if ah == 0:
+                size = _huff_decode(br, dcd[0], dcd[1])
+                diff = _extend(br.bits(size), size) if size else 0
+                pred[ci] += diff
+                col[bi, 0] = pred[ci] << al
+            elif br.bits(1):
+                col[bi, 0] = int(col[bi, 0]) | (1 << al)
+
+        if len(info) > 1:  # interleaved: MCU order over the padded grid
+            for m in range(st.mcuy * st.mcux):
+                if ri and m and m % ri == 0:
+                    br.restart()
+                    pred = {ci: 0 for ci in pred}
+                my, mx = divmod(m, st.mcux)
+                for ci, hi, vi, dcd in info:
+                    for v in range(vi):
+                        for hh in range(hi):
+                            bi = (my * vi + v) * st.nbx_pad[ci] + (mx * hi + hh)
+                            dc_block(ci, dcd, bi)
+        else:  # non-interleaved: true block grid
+            ci, hi, vi, dcd = info[0]
+            nby_t, nbx_t = st.ntrue[ci]
+            cnt = 0
+            for by in range(nby_t):
+                for bx in range(nbx_t):
+                    if ri and cnt and cnt % ri == 0:
+                        br.restart()
+                        pred[ci] = 0
+                    cnt += 1
+                    dc_block(ci, dcd, by * st.nbx_pad[ci] + bx)
+        return
+
+    # AC scan: always one component (T.81 B.2.3 note 2)
+    if len(scan) != 1:
+        raise ValueError("interleaved progressive AC scan")
+    cs, _td, ta = scan[0]
+    ci = next(i for i, (cid, *_r) in enumerate(comps) if cid == cs)
+    acd, acv = htabs[(1, ta)]
+    col = st.coefs[ci]
+    nby_t, nbx_t = st.ntrue[ci]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    cnt = 0
+    for by in range(nby_t):
+        for bx in range(nbx_t):
+            if ri and cnt and cnt % ri == 0:
+                br.restart()
+                eobrun = 0
+            cnt += 1
+            bi = by * st.nbx_pad[ci] + bx
+            if ah == 0:  # AC first
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(br, acd, acv)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overrun")
+                        col[bi, k] = _extend(br.bits(s), s) << al
+                        k += 1
+                continue
+            # AC refine (libjpeg decode_mcu_AC_refine structure)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(br, acd, acv)
+                    r, s = rs >> 4, rs & 0xF
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # r == 15: ZRL — skip 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise ValueError("AC refine size != 1")
+                        newval = p1 if br.bits(1) else m1
+                    while k <= se:
+                        c = int(col[bi, k])
+                        if c != 0:
+                            if br.bits(1) and (c & p1) == 0:
+                                col[bi, k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError("AC refine placement overrun")
+                        col[bi, k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    c = int(col[bi, k])
+                    if c != 0:
+                        if br.bits(1) and (c & p1) == 0:
+                            col[bi, k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _prog_finalize(st: _ProgState, comps, qtabs, h, w) -> np.ndarray:
+    """Dequantize + batched IDCT the accumulated coefficient store and
+    assemble the image (shared tail with the baseline path)."""
+    planes = []
+    for ci, (_cid, _hi, _vi, tq) in enumerate(comps):
+        deq = st.coefs[ci].astype(np.float64) * qtabs[tq][None, :].astype(
+            np.float64
+        )
+        full = np.zeros_like(deq)
+        full[:, _ZIGZAG] = deq
+        blocks = full.reshape(-1, 8, 8)
+        pix = np.matmul(_C.T, np.matmul(blocks, _C)) + 128.0
+        nby, nbx = st.nby_pad[ci], st.nbx_pad[ci]
+        planes.append(
+            pix.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
+    return _planes_to_image(planes, comps, h, w, st.hmax, st.vmax)
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Decode baseline JPEG bytes -> uint8 (h, w, c).
 
@@ -411,21 +837,29 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     chroma is replicate-upsampled), restart intervals (DRI/RSTn), and
     the JFIF YCbCr->RGB inverse when the stream's component ids are
     1/2/3 (the camera-JPEG convention; id 'R','G','B' streams stay
-    untransformed planes). Subset guard: progressive (SOF2) and
-    arithmetic-coded streams raise NotImplementedError."""
+    untransformed planes), and progressive (SOF2) streams via the
+    coefficient-store multi-scan path. Subset guard: arithmetic-coded
+    streams raise NotImplementedError."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], tuple[dict, list[int]]] = {}
     sof = None
+    progressive = False
+    prog: _ProgState | None = None
     restart_interval = 0
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("marker sync lost")
         marker = buf[pos + 1]
         pos += 2
-        if marker in (0xD8, 0xD9):
+        if marker == 0xD9:  # EOI: progressive pixels materialize here
+            if prog is not None:
+                h, w, comps = sof
+                return _prog_finalize(prog, comps, qtabs, h, w)
+            continue
+        if marker == 0xD8:
             continue
         (seglen,) = struct.unpack_from(">H", buf, pos)
         payload = buf[pos + 2 : pos + seglen]
@@ -451,7 +885,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(payload[p : p + nv])
                 p += nv
                 htabs[(tc, th)] = (_decode_tables(bits, vals), vals)
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError("non-8-bit precision")
@@ -460,7 +894,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, samp, tq = struct.unpack_from(">BBB", payload, 6 + 3 * i)
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
             sof = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("non-baseline SOF")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
@@ -473,6 +908,25 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 0xF))
             h, w, comps = sof
+            if progressive:
+                ss_, se_, ahl = struct.unpack_from(">BBB", payload, 1 + 2 * ns)
+                if prog is None:
+                    prog = _ProgState(comps, h, w)
+                end = _entropy_end(buf, pos + seglen)
+                _prog_decode_scan(
+                    prog,
+                    buf[pos + seglen : end],
+                    scan,
+                    comps,
+                    htabs,
+                    ss_,
+                    se_,
+                    ahl >> 4,
+                    ahl & 0xF,
+                    restart_interval,
+                )
+                pos = end
+                continue
             if ns != len(comps):
                 raise NotImplementedError("non-interleaved scans")
             hmax = max(hi for _, hi, _, _ in comps)
@@ -550,26 +1004,32 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                             coef[_ZIGZAG] = zz * qt[ci]
                             blk = _C.T @ coef.reshape(8, 8) @ _C + 128.0
                             planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
-            chans = []
-            for ci, (_, hi, vi, _) in enumerate(comps):
-                p = planes[ci]
-                fy, fx = vmax // vi, hmax // hi
-                if fy > 1 or fx > 1:  # replicate (nearest) upsampling
-                    p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
-                chans.append(p[:h, :w])
-            if len(comps) == 3 and [cid for cid, *_r in comps] == [1, 2, 3]:
-                # JFIF component ids 1/2/3 = YCbCr: invert BT.601
-                ych, cb, cr = chans
-                chans = [
-                    ych + 1.402 * (cr - 128.0),
-                    ych - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
-                    ych + 1.772 * (cb - 128.0),
-                ]
-            out = np.empty((h, w, len(comps)), dtype=np.uint8)
-            for ci, p in enumerate(chans):
-                t = np.rint(p)
-                np.clip(t, 0, 255, out=t)
-                out[:, :, ci] = t
-            return out
+            return _planes_to_image(planes, comps, h, w, hmax, vmax)
         pos += seglen
     raise ValueError("no scan data found")
+
+
+def _planes_to_image(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Shared decode tail: replicate-upsample subsampled components,
+    crop MCU padding, invert YCbCr when ids are 1/2/3, clip to uint8."""
+    chans = []
+    for ci, (_, hi, vi, _) in enumerate(comps):
+        p = planes[ci]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:  # replicate (nearest) upsampling
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        chans.append(p[:h, :w])
+    if len(comps) == 3 and [cid for cid, *_r in comps] == [1, 2, 3]:
+        # JFIF component ids 1/2/3 = YCbCr: invert BT.601
+        ych, cb, cr = chans
+        chans = [
+            ych + 1.402 * (cr - 128.0),
+            ych - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            ych + 1.772 * (cb - 128.0),
+        ]
+    out = np.empty((h, w, len(comps)), dtype=np.uint8)
+    for ci, p in enumerate(chans):
+        t = np.rint(p)
+        np.clip(t, 0, 255, out=t)
+        out[:, :, ci] = t
+    return out

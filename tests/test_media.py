@@ -162,16 +162,64 @@ def test_jpeg_general_content_and_entropy_paths():
 
 
 def test_jpeg_subset_guards():
-    """Spec features outside the baseline subset fail loudly, never
+    """Spec features outside the supported subset fail loudly, never
     mis-decode (same contract as the other codecs' guards)."""
     img = np.zeros((8, 8, 3), np.uint8)
     buf = bytearray(codecs.encode_jpeg(img))
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    buf[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic coding)
     with pytest.raises(NotImplementedError):
         codecs.decode_jpeg(bytes(buf))
+    # SOF0 -> SOF2 alone makes a malformed progressive stream (its one
+    # scan has Ss=0, Se=63 — illegal for a DC scan): reject, not
+    # mis-decode
+    buf2 = bytearray(codecs.encode_jpeg(img))
+    i = buf2.find(b"\xff\xc0")
+    buf2[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive scan header"):
+        codecs.decode_jpeg(bytes(buf2))
     with pytest.raises(ValueError, match="SOI"):
         codecs.decode_jpeg(b"\x00\x01")
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """Progressive (SOF2) encode->decode equals the baseline path
+    BIT-EXACTLY for the same image and quant: successive approximation
+    of integer coefficients is lossless once fully refined, so any
+    difference is an entropy-coding bug. Content chosen to exercise
+    every scan-kind branch: EOBn runs (flat/smooth), ZRL in first and
+    refine scans (sparse spikes), history-coefficient correction bits
+    (lossy quant), subsampled true-grid-vs-padded-grid walks (420)."""
+    rs = np.random.RandomState(11)
+    cases = [
+        (np.full((128, 96), 77, np.uint8), {}),
+        (rs.randint(0, 256, (40, 56, 3)).astype(np.uint8), {}),
+        (rs.randint(0, 256, (19, 33)).astype(np.uint8), {}),
+        (rs.randint(0, 256, (200, 72, 3)).astype(np.uint8), {"quant": 8}),
+        (
+            rs.randint(0, 256, (120, 56, 3)).astype(np.uint8),
+            {"subsample": "420"},
+        ),
+        (
+            rs.randint(0, 256, (33, 41, 3)).astype(np.uint8),
+            {"subsample": "420", "ycbcr": True},
+        ),
+    ]
+    sparse = np.zeros((96, 96), np.uint8)
+    sparse.flat[rs.choice(96 * 96, 200, replace=False)] = rs.randint(
+        1, 256, 200
+    )
+    cases.append((sparse, {}))
+    for img, kw in cases:
+        base = codecs.decode_jpeg(codecs.encode_jpeg(img, **kw))
+        penc = codecs.encode_jpeg(img, progressive=True, **kw)
+        assert b"\xff\xc2" in penc  # really SOF2
+        assert np.array_equal(codecs.decode_jpeg(penc), base), (
+            img.shape,
+            kw,
+        )
+    with pytest.raises(ValueError, match="DRI"):
+        codecs.encode_jpeg(sparse, progressive=True, restart_interval=2)
 
 
 def test_jpeg_real_world_layouts():
