@@ -18,10 +18,12 @@ Scope (honest subset, like the other codecs in this package):
   ``subsample="420"``, ``restart_interval=N``, ``ycbcr=True``.
 - Progressive (SOF2, T.81 Annex G): decoder handles all four scan
   kinds (DC first/refine, AC first/refine with EOBn run symbols) via
-  a cross-scan coefficient store; encoder emits a libjpeg-style
-  spectral-selection + successive-approximation scan script
-  (``progressive=True``) that decodes bit-identically to the
-  baseline stream. Arithmetic coding still raises
+  a cross-scan coefficient store, including restart markers inside
+  progressive scans; encoder emits a libjpeg-style spectral-selection
+  + successive-approximation scan script (``progressive=True``) that
+  decodes bit-identically to the baseline stream.
+- 16-bit quantization tables (DQT precision 1) decode and are emitted
+  automatically for ``quant > 255``. Arithmetic coding still raises
   NotImplementedError rather than mis-decoding.
 
 Exactness property used by the hash-gated oracle fixtures: a block
@@ -166,7 +168,7 @@ def _to_blocks(chan: np.ndarray) -> np.ndarray:
 
 
 def _encode_progressive(
-    rows, samp, nbx_c, mcux, mcuy, h, w, c, comp_ids
+    rows, samp, nbx_c, mcux, mcuy, h, w, c, comp_ids, ri=0
 ) -> list[tuple[bytes, bytes]]:
     """Emit a libjpeg-style progressive scan script over quantized
     zigzag coefficients -> [(SOS payload, entropy bytes)] per scan.
@@ -187,40 +189,54 @@ def _encode_progressive(
         ch = (h * vi + vmax - 1) // vmax
         ntrue.append(((ch + 7) // 8, (cw + 7) // 8))
 
+    rstseq = [0]  # RSTn modulo counter, shared across a scan's markers
+
+    def emit_rst(bw: _BitWriter) -> None:
+        bw.flush()
+        bw.out += bytes([0xFF, 0xD0 + (rstseq[0] & 7)])
+        rstseq[0] += 1
+
     def dc_scan(al, refine: bool) -> bytes:
         bw = _BitWriter()
+        rstseq[0] = 0
         pred = [0] * c
-        if c > 1:  # interleaved MCU order over the padded grid
-            order = []
+        if c > 1:  # interleaved: MCU order; restarts count MCUs
+            units = []
             for m in range(mcuy * mcux):
                 my, mx = divmod(m, mcux)
+                unit = []
                 for ci in range(c):
                     hi, vi = samp[ci]
                     for v in range(vi):
                         for hh in range(hi):
-                            order.append(
+                            unit.append(
                                 (ci, (my * vi + v) * nbx_c[ci] + (mx * hi + hh))
                             )
-        else:  # single component: non-interleaved true grid
+                units.append(unit)
+        else:  # single component: true grid; restarts count blocks
             nby_t, nbx_t = ntrue[0]
-            order = [
-                (0, by * nbx_c[0] + bx)
+            units = [
+                [(0, by * nbx_c[0] + bx)]
                 for by in range(nby_t)
                 for bx in range(nbx_t)
             ]
-        for ci, bi in order:
-            v0 = rows[ci][bi][0]
-            if refine:
-                bw.put((v0 >> al) & 1, 1)
-                continue
-            val = v0 >> al  # DC point transform is an arithmetic shift
-            diff = val - pred[ci]
-            pred[ci] = val
-            size, extra = _magnitude(diff)
-            code, ln = _DC_ENC[size]
-            bw.put(code, ln)
-            if size:
-                bw.put(extra, size)
+        for m, unit in enumerate(units):
+            if ri and m and m % ri == 0:
+                emit_rst(bw)
+                pred = [0] * c
+            for ci, bi in unit:
+                v0 = rows[ci][bi][0]
+                if refine:
+                    bw.put((v0 >> al) & 1, 1)
+                    continue
+                val = v0 >> al  # DC point transform: arithmetic shift
+                diff = val - pred[ci]
+                pred[ci] = val
+                size, extra = _magnitude(diff)
+                code, ln = _DC_ENC[size]
+                bw.put(code, ln)
+                if size:
+                    bw.put(extra, size)
         bw.flush()
         return bytes(bw.out)
 
@@ -239,8 +255,14 @@ def _encode_progressive(
                 eobrun = 0
 
         nby_t, nbx_t = ntrue[ci]
+        rstseq[0] = 0
+        cnt = 0
         for by in range(nby_t):
             for bx in range(nbx_t):
+                if ri and cnt and cnt % ri == 0:
+                    flush_eob()
+                    emit_rst(bw)
+                cnt += 1
                 zz = rows[ci][by * nbx_c[ci] + bx]
                 r, wrote = 0, False
                 for k in range(ss, se + 1):
@@ -289,8 +311,14 @@ def _encode_progressive(
                 run_bits = []
 
         nby_t, nbx_t = ntrue[ci]
+        rstseq[0] = 0
+        cnt = 0
         for by in range(nby_t):
             for bx in range(nbx_t):
+                if ri and cnt and cnt % ri == 0:
+                    flush_eob()  # run_bits travel with the EOBn symbol
+                    emit_rst(bw)
+                cnt += 1
                 zz = rows[ci][by * nbx_c[ci] + bx]
                 absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
                 eobpos = ss - 1
@@ -385,8 +413,6 @@ def encode_jpeg(
         raise ValueError(f"unsupported channel count {c}")
     if subsample not in ("444", "420"):
         raise ValueError(f"unsupported subsample {subsample}")
-    if progressive and restart_interval:
-        raise ValueError("progressive encode does not support DRI")
     sub = subsample == "420" and c == 3
     q = int(quant)
     qtab = np.full(64, q, dtype=np.int64)
@@ -491,7 +517,13 @@ def encode_jpeg(
         comp_ids = [1, 2, 3]
     else:
         comp_ids = [0x52, 0x47, 0x42][:c] if c == 3 else [0x47]
-    dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in qtab))
+    if q > 255:  # DQT precision 1: 16-bit big-endian elements
+        dqt = seg(
+            0xFFDB,
+            bytes([0x10]) + b"".join(struct.pack(">H", int(v)) for v in qtab),
+        )
+    else:
+        dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in qtab))
     ac_bits, ac_vals = (
         (_PROG_AC_BITS, _PROG_AC_VALS) if progressive else (_AC_BITS, _AC_VALS)
     )
@@ -508,19 +540,20 @@ def encode_jpeg(
             for cid, s in zip(comp_ids, samp)
         ),
     )
-    if progressive:
-        body = b"".join(
-            seg(0xFFDA, sospay) + data
-            for sospay, data in _encode_progressive(
-                rows, samp, nbx_c, mcux, mcuy, h, w, c, comp_ids
-            )
-        )
-        return b"\xff\xd8" + dqt + dht + sof + body + b"\xff\xd9"
     dri = (
         seg(0xFFDD, struct.pack(">H", restart_interval))
         if restart_interval
         else b""
     )
+    if progressive:
+        body = b"".join(
+            seg(0xFFDA, sospay) + data
+            for sospay, data in _encode_progressive(
+                rows, samp, nbx_c, mcux, mcuy, h, w, c, comp_ids,
+                ri=restart_interval,
+            )
+        )
+        return b"\xff\xd8" + dqt + dht + sof + dri + body + b"\xff\xd9"
     sos = seg(
         0xFFDA,
         struct.pack(">B", c)
@@ -868,12 +901,16 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             while p < len(payload):
                 pq, tq = payload[p] >> 4, payload[p] & 0xF
                 p += 1
-                if pq:
-                    raise NotImplementedError("16-bit quant tables")
-                qtabs[tq] = np.frombuffer(
-                    payload[p : p + 64], dtype=np.uint8
-                ).astype(np.int64)
-                p += 64
+                if pq:  # precision 1: 16-bit big-endian elements
+                    qtabs[tq] = np.frombuffer(
+                        payload[p : p + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    p += 128
+                else:
+                    qtabs[tq] = np.frombuffer(
+                        payload[p : p + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    p += 64
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(payload):

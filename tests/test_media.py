@@ -210,16 +210,29 @@ def test_jpeg_progressive_bit_identical_to_baseline():
         1, 256, 200
     )
     cases.append((sparse, {}))
+    # restart markers inside progressive scans (per-MCU in interleaved
+    # DC scans, per-block in AC scans, EOB runs flushed at boundaries)
+    cases.append(
+        (
+            rs.randint(0, 256, (80, 96, 3)).astype(np.uint8),
+            {"restart_interval": 2, "subsample": "420"},
+        )
+    )
+    # 16-bit DQT (precision 1) both directions
+    cases.append(
+        (rs.randint(0, 256, (48, 64, 3)).astype(np.uint8), {"quant": 300})
+    )
     for img, kw in cases:
-        base = codecs.decode_jpeg(codecs.encode_jpeg(img, **kw))
+        bkw = {k: v for k, v in kw.items() if k != "restart_interval"}
+        base = codecs.decode_jpeg(codecs.encode_jpeg(img, **bkw))
         penc = codecs.encode_jpeg(img, progressive=True, **kw)
         assert b"\xff\xc2" in penc  # really SOF2
+        if kw.get("restart_interval"):
+            assert b"\xff\xd0" in penc  # really carries RSTn markers
         assert np.array_equal(codecs.decode_jpeg(penc), base), (
             img.shape,
             kw,
         )
-    with pytest.raises(ValueError, match="DRI"):
-        codecs.encode_jpeg(sparse, progressive=True, restart_interval=2)
 
 
 def test_jpeg_real_world_layouts():
