@@ -22,6 +22,9 @@ Scope (honest subset, like the other codecs in this package):
   progressive scans; encoder emits a libjpeg-style spectral-selection
   + successive-approximation scan script (``progressive=True``) that
   decodes bit-identically to the baseline stream.
+- Baseline non-interleaved streams (one sequential scan per
+  component, T.81 A.2.2) decode through the same coefficient store;
+  ``interleaved=False`` emits them.
 - 16-bit quantization tables (DQT precision 1) decode and are emitted
   automatically for ``quant > 255``. Arithmetic coding still raises
   NotImplementedError rather than mis-decoding.
@@ -151,6 +154,37 @@ def _magnitude(v: int) -> tuple[int, int]:
         return 0, 0
     size = int(abs(v)).bit_length()
     return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _emit_seq_block(bw: _BitWriter, zz, last_nz: int, pred: int) -> int:
+    """Baseline sequential entropy coding of one block (DC diff + AC
+    run-length with ZRL/EOB) -> new DC predictor. Shared by the
+    interleaved MCU loop and non-interleaved per-component scans."""
+    diff = zz[0] - pred
+    size, extra = _magnitude(diff)
+    code, ln = _DC_ENC[size]
+    bw.put(code, ln)
+    if size:
+        bw.put(extra, size)
+    run = 0
+    for k in range(1, last_nz + 1):
+        val = zz[k]
+        if val == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _AC_ENC[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        size, extra = _magnitude(val)
+        code, ln = _AC_ENC[(run << 4) | size]
+        bw.put(code, ln)
+        bw.put(extra, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = _AC_ENC[0x00]  # EOB
+        bw.put(code, ln)
+    return zz[0]
 
 
 def _to_blocks(chan: np.ndarray) -> np.ndarray:
@@ -394,6 +428,7 @@ def encode_jpeg(
     ycbcr: bool = False,
     restart_interval: int = 0,
     progressive: bool = False,
+    interleaved: bool = True,
 ) -> bytes:
     """Encode (h, w[, c]) uint8 (c in {1, 3}) -> baseline JPEG bytes.
 
@@ -469,7 +504,8 @@ def encode_jpeg(
     pred = [0] * c
     rst = 0
     n_mcu = mcuy * mcux
-    for m in range(0 if progressive else n_mcu):
+    skip_mcu_loop = progressive or (not interleaved and c > 1)
+    for m in range(0 if skip_mcu_loop else n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             bw.flush()
             bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
@@ -481,33 +517,9 @@ def encode_jpeg(
             for v in range(vi):
                 for hh in range(hi):
                     bi = (my * vi + v) * nbx_c[ci] + (mx * hi + hh)
-                    zz = rows[ci][bi]
-                    diff = zz[0] - pred[ci]
-                    pred[ci] = zz[0]
-                    size, extra = _magnitude(diff)
-                    code, ln = _DC_ENC[size]
-                    bw.put(code, ln)
-                    if size:
-                        bw.put(extra, size)
-                    run = 0
-                    last_nz = lasts[ci][bi]
-                    for k in range(1, last_nz + 1):
-                        val = zz[k]
-                        if val == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            code, ln = _AC_ENC[0xF0]  # ZRL
-                            bw.put(code, ln)
-                            run -= 16
-                        size, extra = _magnitude(val)
-                        code, ln = _AC_ENC[(run << 4) | size]
-                        bw.put(code, ln)
-                        bw.put(extra, size)
-                        run = 0
-                    if last_nz < 63:
-                        code, ln = _AC_ENC[0x00]  # EOB
-                        bw.put(code, ln)
+                    pred[ci] = _emit_seq_block(
+                        bw, rows[ci][bi], lasts[ci][bi], pred[ci]
+                    )
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -553,6 +565,40 @@ def encode_jpeg(
                 ri=restart_interval,
             )
         )
+        return b"\xff\xd8" + dqt + dht + sof + dri + body + b"\xff\xd9"
+    if not interleaved and c > 1:
+        # baseline non-interleaved: one sequential scan per component
+        # over its true (un-padded) block grid (T.81 A.2.2)
+        body = b""
+        for ci in range(c):
+            bw2 = _BitWriter()
+            pred2, cnt, rst2 = 0, 0, 0
+            hi, vi = samp[ci]
+            cw = (w * hi + hmax - 1) // hmax
+            ch = (h * vi + vmax - 1) // vmax
+            for by in range((ch + 7) // 8):
+                for bx in range((cw + 7) // 8):
+                    if (
+                        restart_interval
+                        and cnt
+                        and cnt % restart_interval == 0
+                    ):
+                        bw2.flush()
+                        bw2.out += bytes([0xFF, 0xD0 + (rst2 & 7)])
+                        rst2 += 1
+                        pred2 = 0
+                    cnt += 1
+                    bi = by * nbx_c[ci] + bx
+                    pred2 = _emit_seq_block(
+                        bw2, rows[ci][bi], lasts[ci][bi], pred2
+                    )
+            bw2.flush()
+            sospay = (
+                struct.pack(">B", 1)
+                + struct.pack(">BB", comp_ids[ci], 0x00)
+                + struct.pack(">BBB", 0, 63, 0)
+            )
+            body += seg(0xFFDA, sospay) + bytes(bw2.out)
         return b"\xff\xd8" + dqt + dht + sof + dri + body + b"\xff\xd9"
     sos = seg(
         0xFFDA,
@@ -842,6 +888,49 @@ def _prog_decode_scan(
                 eobrun -= 1
 
 
+def _seq_decode_scan(
+    st: _ProgState, data: bytes, scan, comps, htabs, ri
+) -> None:
+    """Decode one baseline NON-interleaved scan (full DC+AC per block,
+    single component, true block grid — T.81 A.2.2) into the
+    coefficient store; pixels materialize at EOI like progressive."""
+    if len(scan) != 1:
+        raise NotImplementedError("partially-interleaved sequential scan")
+    cs, td, ta = scan[0]
+    ci = next(i for i, (cid, *_r) in enumerate(comps) if cid == cs)
+    dcd, dcv = htabs[(0, td)]
+    acd, acv = htabs[(1, ta)]
+    br = _BitReader(data)
+    col = st.coefs[ci]
+    nby_t, nbx_t = st.ntrue[ci]
+    pred = 0
+    cnt = 0
+    for by in range(nby_t):
+        for bx in range(nbx_t):
+            if ri and cnt and cnt % ri == 0:
+                br.restart()
+                pred = 0
+            cnt += 1
+            bi = by * st.nbx_pad[ci] + bx
+            size = _huff_decode(br, dcd, dcv)
+            pred += _extend(br.bits(size), size) if size else 0
+            col[bi, 0] = pred
+            k = 1
+            while k <= 63:
+                rs = _huff_decode(br, acd, acv)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        break  # EOB
+                    k += 16  # ZRL
+                else:
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC index overrun")
+                    col[bi, k] = _extend(br.bits(s), s)
+                    k += 1
+
+
 def _prog_finalize(st: _ProgState, comps, qtabs, h, w) -> np.ndarray:
     """Dequantize + batched IDCT the accumulated coefficient store and
     assemble the image (shared tail with the baseline path)."""
@@ -853,7 +942,9 @@ def _prog_finalize(st: _ProgState, comps, qtabs, h, w) -> np.ndarray:
         full = np.zeros_like(deq)
         full[:, _ZIGZAG] = deq
         blocks = full.reshape(-1, 8, 8)
-        pix = np.matmul(_C.T, np.matmul(blocks, _C)) + 128.0
+        # same association as the baseline per-block path
+        # ((C^T @ S) @ C) so both decode routes are bit-identical
+        pix = np.matmul(np.matmul(_C.T, blocks), _C) + 128.0
         nby, nbx = st.nby_pad[ci], st.nbx_pad[ci]
         planes.append(
             pix.reshape(nby, nbx, 8, 8)
@@ -965,7 +1056,21 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 pos = end
                 continue
             if ns != len(comps):
-                raise NotImplementedError("non-interleaved scans")
+                # baseline non-interleaved: accumulate per-component
+                # scans in the coefficient store, finalize at EOI
+                if prog is None:
+                    prog = _ProgState(comps, h, w)
+                end = _entropy_end(buf, pos + seglen)
+                _seq_decode_scan(
+                    prog,
+                    buf[pos + seglen : end],
+                    scan,
+                    comps,
+                    htabs,
+                    restart_interval,
+                )
+                pos = end
+                continue
             hmax = max(hi for _, hi, _, _ in comps)
             vmax = max(vi for _, _, vi, _ in comps)
             for _, hi, vi, _ in comps:

@@ -233,6 +233,17 @@ def test_jpeg_progressive_bit_identical_to_baseline():
             img.shape,
             kw,
         )
+        # baseline NON-interleaved layout (one sequential scan per
+        # component, true-grid walk, coefficient-store decode route):
+        # also bit-identical to the interleaved stream's decode
+        if img.ndim == 3:
+            nenc = codecs.encode_jpeg(img, interleaved=False, **kw)
+            assert nenc.count(b"\xff\xda") == 3  # really 3 scans
+            assert np.array_equal(codecs.decode_jpeg(nenc), base), (
+                img.shape,
+                kw,
+                "non-interleaved",
+            )
 
 
 def test_jpeg_real_world_layouts():
