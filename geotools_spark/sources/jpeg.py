@@ -202,7 +202,7 @@ def _to_blocks(chan: np.ndarray) -> np.ndarray:
 
 
 def _encode_progressive(
-    rows, samp, nbx_c, mcux, mcuy, h, w, c, comp_ids, ri=0
+    rows, samp, nbx_c, mcux, mcuy, h, w, c, comp_ids, ri=0, lasts=None
 ) -> list[tuple[bytes, bytes]]:
     """Emit a libjpeg-style progressive scan script over quantized
     zigzag coefficients -> [(SOS payload, entropy bytes)] per scan.
@@ -297,7 +297,15 @@ def _encode_progressive(
                     flush_eob()
                     emit_rst(bw)
                 cnt += 1
-                zz = rows[ci][by * nbx_c[ci] + bx]
+                bi = by * nbx_c[ci] + bx
+                if lasts is not None and lasts[ci][bi] < ss:
+                    # whole band zero (DC-only blocks dominate flat
+                    # content): O(1) join of the EOB run
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                zz = rows[ci][bi]
                 r, wrote = 0, False
                 for k in range(ss, se + 1):
                     v = zz[k]
@@ -353,7 +361,15 @@ def _encode_progressive(
                     flush_eob()  # run_bits travel with the EOBn symbol
                     emit_rst(bw)
                 cnt += 1
-                zz = rows[ci][by * nbx_c[ci] + bx]
+                bi = by * nbx_c[ci] + bx
+                if lasts is not None and lasts[ci][bi] < ss:
+                    # whole band zero: joins the EOB run with no
+                    # correction bits
+                    eobrun += 1
+                    if eobrun == 0x7FFF or len(run_bits) > 900:
+                        flush_eob()
+                    continue
+                zz = rows[ci][bi]
                 absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
                 eobpos = ss - 1
                 for k in range(ss, se + 1):
@@ -562,7 +578,7 @@ def encode_jpeg(
             seg(0xFFDA, sospay) + data
             for sospay, data in _encode_progressive(
                 rows, samp, nbx_c, mcux, mcuy, h, w, c, comp_ids,
-                ri=restart_interval,
+                ri=restart_interval, lasts=lasts,
             )
         )
         return b"\xff\xd8" + dqt + dht + sof + dri + body + b"\xff\xd9"
@@ -879,12 +895,16 @@ def _prog_decode_scan(
                         col[bi, k] = newval
                     k += 1
             if eobrun > 0:
-                while k <= se:
-                    c = int(col[bi, k])
-                    if c != 0:
-                        if br.bits(1) and (c & p1) == 0:
-                            col[bi, k] = c + (p1 if c >= 0 else m1)
-                    k += 1
+                # correction bits are consumed only at nonzero-history
+                # coefficients; skip the per-coefficient walk when the
+                # rest of the band is all zero (the dominant case)
+                if k <= se and col[bi, k : se + 1].any():
+                    while k <= se:
+                        c = int(col[bi, k])
+                        if c != 0:
+                            if br.bits(1) and (c & p1) == 0:
+                                col[bi, k] = c + (p1 if c >= 0 else m1)
+                        k += 1
                 eobrun -= 1
 
 
