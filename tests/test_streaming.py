@@ -338,3 +338,120 @@ def test_flight_segments_stream_matches_batch(spark, tmp_path):
         if r.m_start < 1.0e6  # sentinel session excluded
     }
     assert got == want  # exact bounds + per-segment counts
+
+
+def _set_mtime(d, t):
+    """Pin micro-batch order: the file stream source orders by
+    modification time, and same-second writes tie."""
+    import os
+
+    for f in os.listdir(d):
+        os.utime(os.path.join(d, f), (t, t))
+
+
+def test_exact_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming exact-dedup (first-seen wins over a 128-bit text
+    fingerprint) equals batch exact_dedup when the stream delivers in
+    ascending doc_id order: duplicates straddle micro-batch boundaries
+    (state carry), NULL texts dedupe to one survivor, and within-batch
+    duplicates drop too."""
+    from geotools_spark.operators.dedup import exact_dedup
+    from geotools_spark.streaming.dedup import exact_dedup_stream
+
+    schema = "doc_id long, text string"
+    rows = [
+        (0, "alpha"), (1, "beta"), (2, "alpha"),       # intra-file dup
+        (3, None),                                     # NULL key
+        (4, "gamma"), (5, "beta"),                     # cross-file dup of 1
+        (6, None),                                     # cross-file NULL dup
+        (7, "delta"),
+        (8, "alpha"), (9, "epsilon"), (10, "gamma"),   # dups of 0 and 4
+        (11, None),
+    ]
+    batch_df = spark.createDataFrame(rows, schema)
+    want = {r.doc_id for r in exact_dedup(batch_df).collect()}
+    assert want == {0, 1, 3, 4, 7, 9}
+
+    src = str(tmp_path / "docs")
+    for i, (name, chunk) in enumerate(
+        [("a", rows[:4]), ("b", rows[4:8]), ("c", rows[8:])]
+    ):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            f"{src}/{name}"
+        )
+        _set_mtime(f"{src}/{name}", 1_000_000 + i)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        exact_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_st")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progress) >= 3, [p["numInputRows"] for p in q.recentProgress]
+    got = {r.doc_id for r in spark.sql("select * from dedup_st").collect()}
+    assert got == want
+
+
+def test_exact_dedup_stream_within_watermark(spark, tmp_path):
+    """Bounded-state mode: duplicates inside the event-time window are
+    suppressed; once the watermark evicts a fingerprint, a later
+    re-occurrence survives (state is proportional to the window, the
+    never-ending-ingestion knob)."""
+    from geotools_spark.streaming.dedup import exact_dedup_stream
+
+    schema = "doc_id long, text string, ingest_ts timestamp"
+
+    def ts(s):
+        from datetime import datetime, timezone
+
+        return datetime.fromtimestamp(s, tz=timezone.utc)
+
+    # eviction is end-of-batch: a fingerprint expires only after the
+    # batch where the watermark passed it has COMPLETED, so the
+    # post-eviction re-occurrence must arrive one batch later (the
+    # engine's guarantee is one-sided: always dedups within the delay,
+    # may still dedup beyond it). t starts at 10 because an event at
+    # the initial watermark (epoch 0) is dropped as late.
+    files = [
+        ("a", [(0, "alpha", ts(10)), (1, "beta", ts(11))]),
+        # in-window dup of alpha (dropped) + a far event that advances
+        # the watermark past alpha's eviction point
+        ("b", [(2, "alpha", ts(12)), (3, "gamma", ts(100))]),
+        # runs at watermark 95; end-of-batch evicts alpha/beta
+        ("c", [(4, "delta", ts(103))]),
+        # alpha's state evicted -> survives; gamma (expires 105) still
+        # in state -> dropped
+        ("d", [(5, "alpha", ts(104)), (6, "gamma", ts(104))]),
+    ]
+    src = str(tmp_path / "docs_wm")
+    for i, (name, chunk) in enumerate(files):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            f"{src}/{name}"
+        )
+        _set_mtime(f"{src}/{name}", 1_000_000 + i)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        exact_dedup_stream(stream, within="5 seconds")
+        .writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("select * from dedup_wm").collect()}
+    assert got == {0, 1, 3, 4, 5}
