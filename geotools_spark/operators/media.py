@@ -150,7 +150,16 @@ def synthetic_media(spark: SparkSession, refs: DataFrame) -> DataFrame:
                                 )
                             )
                         else:
-                            payloads.append(codecs.encode_png(px, level=1))
+                            # hash-pick plain vs Adam7 interlace:
+                            # lossless either way, so the decoded-pixel
+                            # oracle is unchanged while the hash gate
+                            # exercises the deinterlacing path
+                            payloads.append(
+                                codecs.encode_png(
+                                    px, level=1,
+                                    interlace=int(seed) % 2 == 1,
+                                )
+                            )
                 elif kd == "audio":
                     payloads.append(
                         codecs.encode_wav(_audio_samples(int(seed), int(dur)), rate=_RATE)

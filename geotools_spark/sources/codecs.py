@@ -36,68 +36,163 @@ import zlib
 import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_CHANNELS = {0: 1, 2: 3, 6: 4}
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 interlace passes: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 # ---------------------------------------------------------------- PNG
 
-def encode_png(arr: np.ndarray, *, level: int = 6) -> bytes:
-    """Encode (h, w[, c]) uint8 -> PNG bytes (8-bit, filter 0 rows)."""
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, c = arr.shape
-    ctype = {1: 0, 3: 2, 4: 6}.get(c)
-    if ctype is None:
-        raise ValueError(f"unsupported channel count {c}")
-    raw = np.concatenate(
-        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * c)], axis=1
-    ).tobytes()
-
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
     return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, level))
-        + chunk(b"IEND", b"")
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
     )
 
 
-def _unfilter(raw: bytes, h: int, w: int, c: int) -> np.ndarray:
-    stride = w * c
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+def _pack_rows(samples: np.ndarray, depth: int) -> bytes:
+    """(h, w, c) samples -> filter-0 scanline bytes at ``depth``."""
+    h = samples.shape[0]
+    if depth == 16:
+        body = samples.astype(">u2").reshape(h, -1).view(np.uint8)
+    elif depth == 8:
+        body = samples.astype(np.uint8).reshape(h, -1)
+    else:
+        flat = samples.astype(np.uint8).reshape(h, -1)
+        bits = np.unpackbits(flat[:, :, None], axis=2)[:, :, 8 - depth :]
+        body = np.packbits(bits.reshape(h, -1), axis=1)
+    return np.concatenate(
+        [np.zeros((h, 1), np.uint8), body], axis=1
+    ).tobytes()
+
+
+def _adam7_payload(arr: np.ndarray, depth: int) -> bytes:
+    h, w = arr.shape[:2]
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            out += _pack_rows(sub, depth)
+    return bytes(out)
+
+
+def encode_png(
+    arr: np.ndarray,
+    *,
+    level: int = 6,
+    interlace: bool = False,
+    bit_depth: int | None = None,
+) -> bytes:
+    """Encode (h, w[, c]) uint8/uint16 -> PNG bytes (filter 0 rows).
+
+    c in {1, 2, 3, 4} -> gray / gray+alpha / RGB / RGBA; uint16 input
+    writes depth 16. ``bit_depth`` of 1/2/4 (gray only) packs sub-byte
+    samples — values must already fit the depth. ``interlace`` writes
+    Adam7. The default call is byte-stable with prior rounds (the
+    hash-gated fixtures depend on it)."""
+    if arr.dtype == np.uint16:
+        depth = 16
+        arr = np.ascontiguousarray(arr)
+    else:
+        depth = bit_depth or 8
+        arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if ctype is None:
+        raise ValueError(f"unsupported channel count {c}")
+    if depth < 8:
+        if c != 1:
+            raise ValueError("sub-byte depth is gray-only")
+        if int(arr.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"samples exceed {depth}-bit range")
+    raw = _adam7_payload(arr, depth) if interlace else _pack_rows(arr, depth)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_indexed(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    *,
+    bit_depth: int = 8,
+    trns: np.ndarray | None = None,
+    level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """Encode palette PNG (color type 3): ``idx`` (h, w) indices into
+    ``palette`` (n, 3) uint8; optional ``trns`` per-index alpha."""
+    idx = np.ascontiguousarray(idx, dtype=np.uint8)[:, :, None]
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    if int(idx.max(initial=0)) >= (1 << bit_depth):
+        raise ValueError(f"palette index exceeds {bit_depth}-bit range")
+    h, w = idx.shape[:2]
+    raw = (
+        _adam7_payload(idx, bit_depth)
+        if interlace
+        else _pack_rows(idx, bit_depth)
+    )
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, 3, 0, 0, 1 if interlace else 0
+    )
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"PLTE", palette.tobytes()
+    )
+    if trns is not None:
+        out += _png_chunk(b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes())
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(raw, level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: bytes, h: int, rowbytes: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters over one (sub-)image: ``raw`` is
+    h rows of (1 filter byte + rowbytes); ``bpp`` is the filter's
+    byte-per-pixel offset (max(1, channels*depth//8) per spec §9).
+    Returns (h, rowbytes) uint8."""
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, rowbytes + 1)
     ftypes = rows[:, 0]
     data = rows[:, 1:]
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
+    out = np.empty((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.int64)
     for r in range(h):
         cur = data[r].astype(np.int64)
         f = int(ftypes[r])
         if f == 0:
             rec = cur
         elif f == 1:  # Sub: + left same-channel -> cumsum mod 256
-            rec = (cur.reshape(w, c).cumsum(axis=0) % 256).reshape(stride)
+            rec = (
+                cur.reshape(rowbytes // bpp, bpp).cumsum(axis=0) % 256
+            ).reshape(rowbytes)
         elif f == 2:  # Up
             rec = (cur + prev) % 256
         elif f == 3:  # Average — sequential by spec (cold path)
-            rec = np.empty(stride, dtype=np.int64)
-            for x in range(stride):
-                left = rec[x - c] if x >= c else 0
+            rec = np.empty(rowbytes, dtype=np.int64)
+            for x in range(rowbytes):
+                left = rec[x - bpp] if x >= bpp else 0
                 rec[x] = (cur[x] + (left + prev[x]) // 2) % 256
         elif f == 4:  # Paeth — sequential by spec (cold path)
-            rec = np.empty(stride, dtype=np.int64)
-            for x in range(stride):
-                a = rec[x - c] if x >= c else 0
+            rec = np.empty(rowbytes, dtype=np.int64)
+            for x in range(rowbytes):
+                a = rec[x - bpp] if x >= bpp else 0
                 b = int(prev[x])
-                cc = int(prev[x - c]) if x >= c else 0
+                cc = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + b - cc
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
@@ -106,16 +201,51 @@ def _unfilter(raw: bytes, h: int, w: int, c: int) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {f}")
         out[r] = rec
         prev = rec
-    return out.reshape(h, w, c)
+    return out
+
+
+def _rowbytes(w: int, c: int, depth: int) -> int:
+    return (w * c * depth + 7) // 8
+
+
+def _rows_to_samples(rows: np.ndarray, w: int, c: int, depth: int) -> np.ndarray:
+    """(h, rowbytes) filtered-out bytes -> (h, w, c) samples (uint8 for
+    depth<=8, uint16 for depth 16). Sub-byte samples unpack MSB-first."""
+    h = rows.shape[0]
+    if depth == 16:
+        return (
+            rows.reshape(h, -1)
+            .view(">u2")
+            .astype(np.uint16)
+            .reshape(h, w, c)
+        )
+    if depth == 8:
+        return rows.reshape(h, w, c)
+    # MSB-first groups: sample i occupies bits [i*depth, (i+1)*depth)
+    bits = np.unpackbits(rows, axis=1).reshape(h, -1, depth)
+    out = np.zeros(bits.shape[:2], dtype=np.uint8)
+    for b in range(depth):
+        out = (out << 1) | bits[:, :, b]
+    return out[:, : w * c].reshape(h, w, c)
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 (h, w, c). 8-bit gray/RGB/RGBA, interlace 0."""
+    """PNG bytes -> (h, w, c) array.
+
+    Full static-image coverage: color types 0/2/3/4/6 (gray, RGB,
+    palette, gray+alpha, RGBA), bit depths 1/2/4/8/16, interlace 0 and
+    Adam7, all five scanline filters. Palette output expands through
+    PLTE (+tRNS alpha when present -> RGBA); sub-byte gray scales to
+    8-bit (×255/(2^d−1), exact); depth-16 returns uint16, everything
+    else uint8. tRNS color-key transparency on gray/RGB (a display
+    hint, not pixel data) is ignored."""
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     ihdr = None
     idat = bytearray()
+    plte = None
+    trns = None
     while pos + 8 <= len(buf):
         (ln,) = struct.unpack(">I", buf[pos : pos + 4])
         tag = buf[pos + 4 : pos + 8]
@@ -125,6 +255,10 @@ def decode_png(buf: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = bytes(data)
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -133,15 +267,58 @@ def decode_png(buf: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        raise NotImplementedError("only 8-bit non-interlaced PNG supported")
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise NotImplementedError("non-standard PNG compression/interlace")
     c = _CHANNELS.get(ctype)
     if c is None:
         raise NotImplementedError(f"PNG color type {ctype} unsupported")
+    valid = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
+    if depth not in valid[ctype]:
+        raise ValueError(f"invalid depth {depth} for color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (w * c + 1):
-        raise ValueError("PNG scanline payload size mismatch")
-    return _unfilter(raw, h, w, c)
+    bpp = max(1, c * depth // 8)
+    sdtype = np.uint16 if depth == 16 else np.uint8
+    if interlace == 0:
+        rb = _rowbytes(w, c, depth)
+        if len(raw) != h * (rb + 1):
+            raise ValueError("PNG scanline payload size mismatch")
+        samples = _rows_to_samples(_unfilter(raw, h, rb, bpp), w, c, depth)
+    else:  # Adam7: 7 independently-filtered sub-images, concatenated
+        samples = np.zeros((h, w, c), dtype=sdtype)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rb = _rowbytes(pw, c, depth)
+            chunk_len = ph * (rb + 1)
+            sub = _rows_to_samples(
+                _unfilter(raw[off : off + chunk_len], ph, rb, bpp),
+                pw, c, depth,
+            )
+            samples[y0::dy, x0::dx] = sub
+            off += chunk_len
+        if off != len(raw):
+            raise ValueError("PNG Adam7 payload size mismatch")
+    if ctype == 3:
+        idx = samples[:, :, 0]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return np.concatenate(
+                [plte[idx], alpha[idx][:, :, None]], axis=2
+            )
+        return plte[idx]
+    if ctype == 0 and depth < 8:
+        # exact 8-bit expansion: 255/(2^d-1) is an integer for d=1/2/4
+        return (samples.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
+    return samples.astype(sdtype)
 
 
 # --------------------------------------------------------------- TIFF

