@@ -138,15 +138,19 @@ def synthetic_media(spark: SparkSession, refs: DataFrame) -> DataFrame:
                             # GDAL defaults) flows through the
                             # hash-gated decode; lossless, so the
                             # decoded-pixel oracle is unchanged
-                            comp, pred, tile = (
-                                ("none", 1, None), ("lzw", 2, None),
-                                ("deflate", 2, None), ("packbits", 1, None),
-                                ("lzw", 2, (16, 16)), ("deflate", 2, (16, 16)),
-                            )[int(seed) % 6]
+                            comp, pred, tile, pln = (
+                                ("none", 1, None, 1), ("lzw", 2, None, 1),
+                                ("deflate", 2, None, 1),
+                                ("packbits", 1, None, 1),
+                                ("lzw", 2, (16, 16), 1),
+                                ("deflate", 2, (16, 16), 1),
+                                ("deflate", 2, None, 2),
+                                ("lzw", 2, (16, 16), 2),
+                            )[int(seed) % 8]
                             payloads.append(
                                 codecs.encode_tiff(
                                     px, compression=comp, predictor=pred,
-                                    tile=tile,
+                                    tile=tile, planar=pln,
                                 )
                             )
                         else:

@@ -453,6 +453,7 @@ def encode_tiff(
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
     bigtiff: bool = False,
+    planar: int = 1,
 ) -> bytes:
     """(h, w[, c]) uint8 / uint16 / float32 -> classic little-endian
     TIFF, contiguous samples. ``compression``: "none", "lzw" (tag 5),
@@ -464,6 +465,8 @@ def encode_tiff(
     TILED=YES default for large GeoTIFFs); otherwise one strip.
     ``bigtiff=True`` writes the BigTIFF variant (version 43, 8-byte
     offsets, LONG8 offset arrays — what GDAL emits for >4 GB rasters).
+    ``planar=2`` writes separate sample planes (tag 284, plane-major
+    strip/tile order — GDAL's INTERLEAVE=BAND layout).
     Readable by sources.tiff.read_strip_tiff_bytes."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
@@ -493,6 +496,13 @@ def encode_tiff(
 
     comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
 
+    if planar not in (1, 2):
+        raise ValueError(f"planar config {planar}")
+    # planar=2: each emitted strip/tile carries ONE sample plane, in
+    # plane-major order (all of sample 0's blocks, then sample 1's, …)
+    planes = (
+        [arr] if planar == 1 else [arr[:, :, s : s + 1] for s in range(c)]
+    )
     blocks: list[bytes] = []
     if tile is not None:
         tw, th = tile
@@ -500,14 +510,19 @@ def encode_tiff(
             raise ValueError("TIFF tile dims must be multiples of 16")
         down = (h + th - 1) // th
         across = (w + tw - 1) // tw
-        padded = np.zeros((down * th, across * tw, c), dtype=arr.dtype)
-        padded[:h, :w] = arr
-        for ty in range(down):
-            for tx in range(across):
-                block = padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
-                blocks.append(compress(_tiff_predict(block, predictor, dt)))
+        for plane in planes:
+            pc = plane.shape[2]
+            padded = np.zeros((down * th, across * tw, pc), dtype=arr.dtype)
+            padded[:h, :w] = plane
+            for ty in range(down):
+                for tx in range(across):
+                    block = padded[
+                        ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw
+                    ]
+                    blocks.append(compress(_tiff_predict(block, predictor, dt)))
     else:
-        blocks.append(compress(_tiff_predict(arr, predictor, dt)))
+        for plane in planes:
+            blocks.append(compress(_tiff_predict(plane, predictor, dt)))
 
     # --- IFD assembly: (tag, type, values) with >4-byte runs spilled
     tags: list[tuple[int, int, list[int]]] = [
@@ -521,6 +536,8 @@ def encode_tiff(
     ]
     if predictor != 1:
         tags.append((317, 3, [predictor]))
+    if planar == 2:
+        tags.append((284, 3, [2]))     # PlanarConfiguration: separate
     off_type = 16 if bigtiff else 4  # LONG8 offset arrays in BigTIFF
     if tile is not None:
         tags.append((322, 4, [tw]))    # TileWidth
@@ -529,9 +546,9 @@ def encode_tiff(
         tags.append((325, 4, [len(b) for b in blocks]))  # TileByteCounts
         off_tag = 324
     else:
-        tags.append((273, off_type, [0]))  # StripOffsets (patched)
-        tags.append((278, 4, [h]))     # RowsPerStrip (single strip)
-        tags.append((279, 4, [len(blocks[0])]))  # StripByteCounts
+        tags.append((273, off_type, [0] * len(blocks)))  # StripOffsets (patched)
+        tags.append((278, 4, [h]))     # RowsPerStrip (one strip per plane)
+        tags.append((279, 4, [len(b) for b in blocks]))  # StripByteCounts
         off_tag = 273
     tags.sort(key=lambda t: t[0])
 

@@ -218,8 +218,9 @@ def read_strip_tiff_bytes(buf: bytes):
             f"TIFF compression {comp} unsupported "
             "(none/LZW/Deflate/PackBits only)"
         )
-    if int(tags.get(284, [1])[0]) != 1:
-        raise NotImplementedError("only contiguous planar config supported")
+    planar = int(tags.get(284, [1])[0])
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar config {planar} unsupported")
     if all(int(b) == 32 for b in bps) and all(int(f) == 3 for f in fmt):
         dt = np.dtype(bo + "f4")
     elif all(int(b) == 8 for b in bps) and all(int(f) == 1 for f in fmt):
@@ -238,6 +239,10 @@ def read_strip_tiff_bytes(buf: bytes):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
 
     data = np.empty((height, width, spp), dtype=np.float64)
+    # planar config 2 (separate planes, GDAL INTERLEAVE=BAND): each
+    # strip/tile carries ONE sample plane, plane-major block order;
+    # predictors run within the plane (effective spp = 1)
+    blk_spp = 1 if planar == 2 else spp
     if 322 in tags:  # tiled organization (TIFF 6.0 §15) — GDAL's
         # default layout for large GeoTIFFs (TILED=YES, 256x256)
         tw = int(tags[322][0])
@@ -245,27 +250,47 @@ def read_strip_tiff_bytes(buf: bytes):
         offsets = tags[324]
         counts = tags[325]
         tiles_across = (width + tw - 1) // tw
-        want = th * tw * spp * dt.itemsize  # tiles are padded to full size
+        tiles_down = (height + th - 1) // th
+        per_plane = tiles_across * tiles_down
+        want = th * tw * blk_spp * dt.itemsize  # tiles padded to full size
         for idx, (off, cnt) in enumerate(zip(offsets, counts)):
             raw = _decompress(buf, int(off), int(cnt), comp, want)
-            block = _undo_predictor(raw, th, tw, spp, dt, predictor)
-            ty, tx = divmod(idx, tiles_across)
+            block = _undo_predictor(raw, th, tw, blk_spp, dt, predictor)
+            plane, ti = divmod(idx, per_plane) if planar == 2 else (None, idx)
+            ty, tx = divmod(ti, tiles_across)
             y0, x0 = ty * th, tx * tw
             vh = min(th, height - y0)
             vw = min(tw, width - x0)
-            data[y0 : y0 + vh, x0 : x0 + vw] = block[:vh, :vw].astype(np.float64)
+            tgt = block[:vh, :vw].astype(np.float64)
+            if planar == 2:
+                data[y0 : y0 + vh, x0 : x0 + vw, plane] = tgt[:, :, 0]
+            else:
+                data[y0 : y0 + vh, x0 : x0 + vw] = tgt
     else:  # strip organization
         offsets = tags[273]
         counts = tags[279]
         rows_per_strip = int(tags.get(278, [height])[0])
+        strips_per_plane = (
+            (height + rows_per_strip - 1) // rows_per_strip
+            if planar == 2
+            else len(offsets)
+        )
         row = 0
-        for off, cnt in zip(offsets, counts):
+        for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+            plane, si = (
+                divmod(idx, strips_per_plane) if planar == 2 else (None, idx)
+            )
+            row = si * rows_per_strip
             nrows = min(rows_per_strip, height - row)
-            want = nrows * width * spp * dt.itemsize
+            want = nrows * width * blk_spp * dt.itemsize
             raw = _decompress(buf, int(off), int(cnt), comp, want)
-            block = _undo_predictor(raw, nrows, width, spp, dt, predictor)
-            data[row : row + nrows] = block.astype(np.float64)
-            row += nrows
+            block = _undo_predictor(raw, nrows, width, blk_spp, dt, predictor)
+            if planar == 2:
+                data[row : row + nrows, :, plane] = block.astype(np.float64)[
+                    :, :, 0
+                ]
+            else:
+                data[row : row + nrows] = block.astype(np.float64)
 
     scale = tags.get(33550, [1.0, 1.0, 0.0])
     tie = tags.get(33922, [0.0] * 6)

@@ -617,3 +617,30 @@ def test_png_full_static_coverage():
     del buf[i : i + 12 + ln]
     with pytest.raises(ValueError, match="PLTE"):
         codecs.decode_png(bytes(buf))
+
+
+def test_tiff_planar_config_round_trips():
+    """PlanarConfiguration 2 (separate planes, GDAL INTERLEAVE=BAND):
+    plane-major strips and tiles round-trip exactly across dtypes,
+    compressions, and predictors; predictors run within the plane."""
+    rng = np.random.RandomState(11)
+    for shape, dt in [
+        ((9, 13, 3), np.uint8), ((8, 8, 3), np.uint16),
+        ((6, 7, 3), np.float32), ((17, 5, 4), np.uint8),
+    ]:
+        if dt == np.float32:
+            arr = rng.normal(0, 10, shape).astype(np.float32)
+        else:
+            arr = rng.randint(0, np.iinfo(dt).max + 1, shape).astype(dt)
+        pred = 3 if dt == np.float32 else 2
+        for comp in ("none", "lzw", "deflate", "packbits"):
+            for tile in (None, (16, 16)):
+                buf = codecs.encode_tiff(
+                    arr, compression=comp,
+                    predictor=pred if comp != "none" else 1,
+                    tile=tile, planar=2,
+                )
+                data, _ = read_strip_tiff_bytes(buf)
+                assert np.allclose(data, arr.astype(np.float64)), (
+                    shape, dt, comp, tile,
+                )
