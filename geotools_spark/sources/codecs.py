@@ -606,38 +606,109 @@ def encode_tiff(
 
 # ---------------------------------------------------------------- WAV
 
-def encode_wav(samples: np.ndarray, *, rate: int, channels: int = 1) -> bytes:
-    """int16 samples (interleaved if stereo) -> RIFF/WAVE PCM16."""
-    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
-    block = 2 * channels
-    fmt = struct.pack(
-        "<HHIIHH", 1, channels, rate, rate * block, block, 16
-    )
+# WAVE_FORMAT_EXTENSIBLE subformat GUID tail (fixed per RFC 2361):
+# first two bytes carry the actual format code
+_WAVEX_GUID_TAIL = bytes.fromhex("000000001000800000AA00389B71")
+
+
+def encode_wav(
+    samples: np.ndarray,
+    *,
+    rate: int,
+    channels: int = 1,
+    bits: int | None = None,
+    extensible: bool = False,
+) -> bytes:
+    """Samples (interleaved if multichannel) -> RIFF/WAVE.
+
+    Format follows the dtype: int16 -> PCM16 (byte-stable with prior
+    rounds), uint8 -> PCM8, int32 -> PCM32 (or PCM24 with ``bits=24``,
+    low three bytes), float32/float64 -> IEEE float (format 3).
+    ``extensible=True`` wraps the format in WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE + subformat GUID — what most DAWs emit for >2 channels)."""
+    samples = np.asarray(samples)
+    if samples.dtype == np.int16:
+        afmt, width, pcm = 1, 2, np.ascontiguousarray(samples, "<i2").tobytes()
+    elif samples.dtype == np.uint8:
+        afmt, width, pcm = 1, 1, np.ascontiguousarray(samples, "u1").tobytes()
+    elif samples.dtype == np.int32 and bits == 24:
+        le = np.ascontiguousarray(samples, "<i4").view(np.uint8).reshape(-1, 4)
+        afmt, width, pcm = 1, 3, le[:, :3].tobytes()
+    elif samples.dtype == np.int32:
+        afmt, width, pcm = 1, 4, np.ascontiguousarray(samples, "<i4").tobytes()
+    elif samples.dtype == np.float32:
+        afmt, width, pcm = 3, 4, np.ascontiguousarray(samples, "<f4").tobytes()
+    elif samples.dtype == np.float64:
+        afmt, width, pcm = 3, 8, np.ascontiguousarray(samples, "<f8").tobytes()
+    else:
+        raise ValueError(f"unsupported sample dtype {samples.dtype}")
+    block = width * channels
+    if extensible:
+        fmt = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, channels, rate, rate * block, block,
+            width * 8, 22, width * 8, (1 << channels) - 1,
+        ) + struct.pack("<H", afmt) + _WAVEX_GUID_TAIL
+    elif afmt == 3:  # IEEE float carries the cbSize=0 extension
+        fmt = struct.pack(
+            "<HHIIHHH", afmt, channels, rate, rate * block, block,
+            width * 8, 0,
+        )
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", afmt, channels, rate, rate * block, block, width * 8
+        )
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    if len(pcm) & 1:
+        body += b"\x00"  # RIFF chunks are word-aligned
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_wav(buf: bytes) -> tuple[int, int, np.ndarray]:
-    """WAV bytes -> (rate, channels, int16 samples)."""
+    """WAV bytes -> (rate, channels, samples).
+
+    Covers PCM 8 (uint8 as stored), 16 (int16), 24 (sign-extended
+    int32), 32 (int32), IEEE float 32/64, and WAVE_FORMAT_EXTENSIBLE
+    wrappers of any of those. Integer samples keep their native
+    magnitude (no normalization)."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos = 12
-    rate = channels = None
-    pcm = None
+    rate = channels = afmt = bits = None
+    raw = None
     while pos + 8 <= len(buf):
         tag = buf[pos : pos + 4]
         (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
         data = buf[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
-            afmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", data[:16])
-            if afmt != 1 or bits != 16:
-                raise NotImplementedError("only PCM16 WAV supported")
+            afmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", data[:16]
+            )
+            if afmt == 0xFFFE:  # extensible: real code leads the GUID
+                if len(data) < 40:
+                    raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE")
+                (afmt,) = struct.unpack("<H", data[24:26])
         elif tag == b"data":
-            pcm = np.frombuffer(data, dtype="<i2")
+            raw = data
         pos += 8 + ln + (ln & 1)
-    if rate is None or pcm is None:
+    if rate is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if afmt == 1 and bits == 16:
+        pcm = np.frombuffer(raw, dtype="<i2")
+    elif afmt == 1 and bits == 8:
+        pcm = np.frombuffer(raw, dtype="u1")
+    elif afmt == 1 and bits == 24:
+        b = np.frombuffer(raw, dtype="u1").reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        pcm = v - ((v & 0x800000) << 1)  # sign-extend bit 23
+    elif afmt == 1 and bits == 32:
+        pcm = np.frombuffer(raw, dtype="<i4")
+    elif afmt == 3 and bits == 32:
+        pcm = np.frombuffer(raw, dtype="<f4")
+    elif afmt == 3 and bits == 64:
+        pcm = np.frombuffer(raw, dtype="<f8")
+    else:
+        raise NotImplementedError(f"WAV format {afmt} / {bits}-bit unsupported")
     return int(rate), int(channels), pcm
 
 

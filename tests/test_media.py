@@ -644,3 +644,44 @@ def test_tiff_planar_config_round_trips():
                 assert np.allclose(data, arr.astype(np.float64)), (
                     shape, dt, comp, tile,
                 )
+
+
+def test_wav_real_world_formats():
+    """WAV beyond PCM16: PCM 8 (uint8 as stored) / 24 (sign-extended
+    int32) / 32, IEEE float 32/64, and WAVE_FORMAT_EXTENSIBLE wrappers
+    — all round-trip exactly; the default PCM16 stream stays
+    byte-stable (hash-gated fixtures depend on it)."""
+    rs = np.random.RandomState(3)
+    cases = [
+        (rs.randint(0, 256, 500).astype(np.uint8), {}),
+        (rs.randint(-(1 << 23), 1 << 23, 500).astype(np.int32), {"bits": 24}),
+        (
+            rs.randint(-(1 << 31), (1 << 31) - 1, 500, dtype=np.int64).astype(
+                np.int32
+            ),
+            {},
+        ),
+        (rs.normal(0, 1, 500).astype(np.float32), {}),
+        (rs.normal(0, 1, 500).astype(np.float64), {}),
+    ]
+    for samp, kw in cases:
+        for ext in (False, True):
+            rate, ch, out = codecs.decode_wav(
+                codecs.encode_wav(
+                    samp, rate=44100, channels=2, extensible=ext, **kw
+                )
+            )
+            assert (rate, ch) == (44100, 2)
+            assert out.dtype == samp.dtype and np.array_equal(out, samp), (
+                samp.dtype, kw, ext,
+            )
+    # odd-length PCM8 payload: RIFF word alignment must not corrupt
+    s8 = rs.randint(0, 256, 501).astype(np.uint8)
+    _, _, out = codecs.decode_wav(codecs.encode_wav(s8, rate=8000))
+    assert np.array_equal(out, s8)
+    # unsupported combination fails loudly
+    buf = bytearray(codecs.encode_wav(s8, rate=8000))
+    i = buf.find(b"fmt ") + 8
+    buf[i] = 2  # ADPCM
+    with pytest.raises(NotImplementedError):
+        codecs.decode_wav(bytes(buf))
