@@ -10,6 +10,7 @@ values.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1123,6 +1124,7 @@ def _q_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qx", "qy", F.round("kriged", 6).alias("kriged"))
 
 
+@functools.lru_cache(maxsize=4)
 def _oracle_kriging_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """DuckDB oracle for the kriging query (VERDICT r04 #3). The
     weights are a driver-side O(n^3) factorization by design
@@ -1139,10 +1141,13 @@ def _oracle_kriging_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     from geotools_spark.testkit.oracle import duckdb_con
 
     con = duckdb_con(sf_dir)
-    rows = con.execute(
-        f"WITH pts AS ({derive.POINTS_CTE}) "
-        "SELECT x, y, z FROM pts WHERE pid % 997 = 0 ORDER BY pid"
-    ).fetchall()
+    try:
+        rows = con.execute(
+            f"WITH pts AS ({derive.POINTS_CTE}) "
+            "SELECT x, y, z FROM pts WHERE pid % 997 = 0 ORDER BY pid"
+        ).fetchall()
+    finally:
+        con.close()
     pts = np.array(rows, dtype=np.float64).reshape(-1, 3)
     n = len(pts)
     nugget, sill, vrange = 0.0, 30.0, 25.0
@@ -1168,8 +1173,11 @@ def _oracle_kriging_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     w = b @ Ai.T
     kriged = np.round(w[:, :-1] @ pts[:, 2], 6)
     zsum = round(float(pts[:, 2].sum()), 6)
+    # float() before formatting: repr(np.float64(x)) is 'np.float64(x)'
+    # under numpy >= 2.0, which would be a DuckDB syntax error
     values = ", ".join(
-        f"({x!r}, {y!r}, {k!r})" for x, y, k in zip(qx, qy, kriged)
+        f"({float(x)!r}, {float(y)!r}, {float(k)!r})"
+        for x, y, k in zip(qx, qy, kriged)
     )
     return f"""
     WITH pts AS ({derive.POINTS_CTE}),
@@ -1180,7 +1188,7 @@ def _oracle_kriging_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     SELECT CAST(v.qx AS DOUBLE) AS qx, CAST(v.qy AS DOUBLE) AS qy,
            CAST(v.kriged AS DOUBLE) AS kriged
     FROM (VALUES {values}) AS v(qx, qy, kriged), guard
-    WHERE guard.n = {n} AND guard.zsum = {zsum!r}
+    WHERE guard.n = {n} AND abs(guard.zsum - {zsum!r}) <= 1e-6
     """
 
 
@@ -1360,13 +1368,26 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size + max mtime of data files) so regenerated embeddings at the
     # same path invalidate the index instead of serving stale vectors
     # (ADVICE r04).
-    fp = 0
+    # nanosecond mtimes (1 s granularity could alias a same-second
+    # regeneration of byte-identical size) and a sorted walk (listing
+    # order must not change the fingerprint) — both review findings
+    ents = []
     for root, _dirs, files in os.walk(src):
         for f_ in files:
             if f_.startswith(("_", ".")):
                 continue
             st = os.stat(os.path.join(root, f_))
-            fp = max(fp, int(st.st_mtime)) ^ (fp * 31 + st.st_size) % (1 << 62)
+            ents.append((f_, st.st_mtime_ns, st.st_size))
+    import zlib
+
+    fp = 0
+    for name, mtns, size in sorted(ents):
+        # crc-fold, NOT hash(): str hash is per-process randomized and
+        # would defeat the cross-run cache
+        fp = (
+            fp * 1000003
+            + zlib.crc32(f"{name}:{mtns}:{size}".encode())
+        ) % (1 << 62)
     idx = (
         f"/tmp/geotools_spark_ivf_{os.path.basename(sf_dir.rstrip('/'))}_{fp:x}"
     )
@@ -1374,7 +1395,11 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.exists(os.path.join(idx, "_centroids.json")):
             build_ivf_index(emb, idx, nlist=8)
         out = ivf_ann_topk_indexed(spark, idx, qvec, k=20, nprobe=3)
-    except (OSError, IOError) as e:  # index dir unusable (perms/disk full)
+    except Exception as e:  # noqa: BLE001 — index dir unusable in ANY
+        # way (perms, disk full, reaped part-files -> AnalysisException,
+        # truncated _centroids.json -> ValueError): fall back to the
+        # in-memory path but LOUDLY, so breakage of the indexed path
+        # the bench advertises stays visible (ADVICE r04)
         import sys
 
         print(f"[ann_ivf] indexed path failed ({e!r}); in-memory fallback",

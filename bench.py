@@ -360,7 +360,11 @@ def flagship_main() -> None:
         )
         grid, tiles = flagship_from_docs(docs.limit(N_BENCH_DOCS // 20))
         _materialize_both(grid, tiles)
-        n_trials = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_TRIALS", "5"))
+        # clamp: 0/negative would leave shots empty and min() would
+        # crash after the expensive snapshot build
+        n_trials = max(
+            1, int(os.environ.get("SPARK_GRAFT_FLAGSHIP_TRIALS", "5"))
+        )
         shots = []
         for _ in range(n_trials):
             t0 = time.perf_counter()

@@ -42,15 +42,13 @@ def interp_idw_all(
     contract-small, so a broadcast cross join keeps it one narrow
     stage — and the formula is plain aggregation, so the whole path is
     DuckDB-expressible (VERDICT r04 #3)."""
-    from geotools_spark.operators.neighbors import idw
-
     j = queries.crossJoin(F.broadcast(samples.select("x", "y", "z")))
     d = F.sqrt(
         (F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x"))
         + (F.col("qy") - F.col("y")) * (F.col("qy") - F.col("y"))
     )
     knn = j.select("qid", "z", d.alias("dist"))
-    return idw(knn, power=power).withColumnRenamed("idw", "value")
+    return _idw_kernel(knn, power=power).withColumnRenamed("idw", "value")
 
 
 def interp_avg(

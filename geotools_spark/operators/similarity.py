@@ -168,7 +168,7 @@ def ivf_ann_topk(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 7,
+    seed: int | None = None,
     max_iter: int = 8,
     method: str = "sample",
 ) -> DataFrame:
@@ -185,7 +185,8 @@ def ivf_ann_topk(
     """
     if method == "sample":
         centers = sample_centroids(
-            embeddings, nlist=nlist, id_col=id_col, vec_col=vec_col
+            embeddings, nlist=nlist, id_col=id_col, vec_col=vec_col,
+            **({} if seed is None else {"seed": seed}),
         )
         assigned = embeddings.select(id_col, vec_col).withColumn(
             "_cell", assign_cell_expr(vec_col, centers)
@@ -200,7 +201,7 @@ def ivf_ann_topk(
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
         )
         km = KMeans(
-            k=nlist, seed=seed, maxIter=int(max_iter),
+            k=nlist, seed=7 if seed is None else seed, maxIter=int(max_iter),
             featuresCol="_feat", predictionCol="_cell",
         )
         model = km.fit(va)
@@ -218,7 +219,7 @@ def build_ivf_index(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 7,
+    seed: int | None = None,
     max_iter: int = 8,
     run_id: str = "ivf-build",
     method: str = "sample",
@@ -246,7 +247,8 @@ def build_ivf_index(
 
     if method == "sample":
         centers = sample_centroids(
-            embeddings, nlist=nlist, id_col=id_col, vec_col=vec_col
+            embeddings, nlist=nlist, id_col=id_col, vec_col=vec_col,
+            **({} if seed is None else {"seed": seed}),
         )
         assigned = embeddings.select(id_col, vec_col).withColumn(
             "cell", assign_cell_expr(vec_col, centers)
@@ -261,7 +263,7 @@ def build_ivf_index(
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
         )
         km = KMeans(
-            k=nlist, seed=seed, maxIter=int(max_iter),
+            k=nlist, seed=7 if seed is None else seed, maxIter=int(max_iter),
             featuresCol="_feat", predictionCol="cell",
         )
         model = km.fit(va)

@@ -722,6 +722,14 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _comp_index(comps, cs: int) -> int:
+    """SOF component index for a scan-header component id."""
+    for i, (cid, *_r) in enumerate(comps):
+        if cid == cs:
+            return i
+    raise ValueError(f"scan references unknown component id {cs}")
+
+
 def _entropy_end(buf: bytes, start: int) -> int:
     """Index of the first real marker (not stuffed FF00, not RSTn)
     after ``start`` — the end of one scan's entropy-coded segment."""
@@ -782,7 +790,7 @@ def _prog_decode_scan(
             raise ValueError("invalid progressive scan header (Ss=0, Se!=0)")
         info = []
         for cs, td, _ta in scan:
-            ci = next(i for i, (cid, *_r) in enumerate(comps) if cid == cs)
+            ci = _comp_index(comps, cs)
             _, hi, vi, _ = comps[ci]
             info.append((ci, hi, vi, htabs[(0, td)] if ah == 0 else None))
         pred = {ci: 0 for ci, *_r in info}
@@ -825,7 +833,7 @@ def _prog_decode_scan(
     if len(scan) != 1:
         raise ValueError("interleaved progressive AC scan")
     cs, _td, ta = scan[0]
-    ci = next(i for i, (cid, *_r) in enumerate(comps) if cid == cs)
+    ci = _comp_index(comps, cs)
     acd, acv = htabs[(1, ta)]
     col = st.coefs[ci]
     nby_t, nbx_t = st.ntrue[ci]
@@ -917,7 +925,7 @@ def _seq_decode_scan(
     if len(scan) != 1:
         raise NotImplementedError("partially-interleaved sequential scan")
     cs, td, ta = scan[0]
-    ci = next(i for i, (cid, *_r) in enumerate(comps) if cid == cs)
+    ci = _comp_index(comps, cs)
     dcd, dcv = htabs[(0, td)]
     acd, acv = htabs[(1, ta)]
     br = _BitReader(data)
@@ -1109,9 +1117,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             # component for sampling factors and quant table
             info = []
             for cs, td, ta in scan:
-                ci = next(
-                    i for i, (cid, *_r) in enumerate(comps) if cid == cs
-                )
+                ci = _comp_index(comps, cs)
                 _, hi, vi, _ = comps[ci]
                 info.append((ci, hi, vi, htabs[(0, td)], htabs[(1, ta)]))
             zz = np.zeros(64, dtype=np.int64)
