@@ -1408,6 +1408,22 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
 
 
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the 100 TB memory answer: 64-float
+    embeddings store as 8 one-byte codes; serving reads the codes
+    column and sums 8 ADC table lookups per row). Deterministic
+    sample codebooks make encode, ADC scoring, candidate cut, and the
+    exact-cosine re-rank all replay in DuckDB — fully hash-gated."""
+    from geotools_spark.operators.similarity import pq_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
+    out = pq_ann_topk(emb, qvec, k=20, m=8, ksub=32, rerank=8)
+    return out.select(
+        "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def _q_flagship_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The headline pipeline itself behind the driver's gate (VERDICT
     r01 #10): synth interleaved docs -> span explode -> point decode ->
@@ -1550,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "las_validate": _q_las_validate,
         "ann_ivf": _q_ann_ivf,
         "rastfit_idw": _q_rastfit_idw,
+        "ann_pq": _q_ann_pq,  # oracled r05: derivational PQ replay
     }
 
 
@@ -3044,6 +3061,58 @@ def oracle_sql() -> dict[str, str]:
     cand AS (SELECT e.vec_id, e.embedding
              FROM embeddings e JOIN cells USING (vec_id)
              WHERE cells.cell IN (SELECT cidx FROM probes)),
+    scored AS (SELECT e.vec_id,
+                      ROUND({dot} / ({enorm} * {qnorm}), 6) AS cosine
+               FROM cand e, q),
+    ranked AS (SELECT vec_id, cosine,
+                      CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id)
+                           AS INTEGER) AS rank
+               FROM scored)
+    SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 20
+    """
+
+    # ann_pq: the PQ pipeline is derivational end-to-end — the 32
+    # sampled codebook vectors, each subspace's argmin code (left-
+    # folded list_sum, first-min tie-break), the query's per-subspace
+    # ADC distances, the rounded ADC candidate cut, and the exact
+    # cosine re-rank all come FROM THE TABLE in SQL, mirroring
+    # operators/similarity.pq_* expression for expression.
+    _pq_parts = []
+    for s in range(8):
+        lo, hi = s * 8 + 1, s * 8 + 9
+        te = "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+        tq = "(CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+        _pq_parts.append(f"""
+    d{s} AS (SELECT e.vec_id, c.cidx,
+                    list_sum([{te} * {te} FOR i IN range({lo}, {hi})]) AS dd
+             FROM embeddings e CROSS JOIN pqcents c),
+    code{s} AS (SELECT vec_id, cidx AS code FROM (
+        SELECT vec_id, cidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, cidx) AS rn
+        FROM d{s}) WHERE rn = 1),
+    qd{s} AS (SELECT c.cidx,
+                     list_sum([{tq} * {tq} FOR i IN range({lo}, {hi})]) AS dd
+              FROM pqcents c, q)""")
+    _pq_adc = " + ".join(f"a{s}.dd" for s in range(8))
+    _pq_joins = " ".join(
+        f"JOIN code{s} c{s} USING (vec_id) JOIN qd{s} a{s} ON a{s}.cidx = c{s}.code"
+        for s in range(8)
+    )
+    sqls["ann_pq"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    pqcents0 AS (SELECT vec_id, embedding,
+                        (vec_id * 104729 + 1299709) % 999983 AS ok
+                 FROM embeddings ORDER BY ok, vec_id LIMIT 32),
+    pqcents AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY ok, vec_id) - 1
+                            AS INTEGER) AS cidx,
+                       embedding AS cv
+                FROM pqcents0),{",".join(_pq_parts)},
+    adc AS (SELECT e.vec_id, ROUND({_pq_adc}, 6) AS adc
+            FROM embeddings e {_pq_joins}),
+    cand AS (SELECT a.vec_id, e.embedding
+             FROM adc a JOIN embeddings e USING (vec_id)
+             ORDER BY a.adc, a.vec_id LIMIT 160),
     scored AS (SELECT e.vec_id,
                       ROUND({dot} / ({enorm} * {qnorm}), 6) AS cosine
                FROM cand e, q),

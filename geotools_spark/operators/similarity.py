@@ -354,3 +354,119 @@ def lsh_ann_topk(
     bucketed = embeddings.withColumn("_bucket", bucket_expr(F.col(vec_col), planes))
     cand = bucketed.filter(F.col("_bucket").isin(probes))
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ------------------------------------------------ product quantization
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = QUANT_SEED,
+) -> list[list[list[float]]]:
+    """m per-subspace codebooks of ksub sub-centroids — the sub-slices
+    of ksub affine-mod-sampled embeddings (same deterministic
+    quantizer as IVF, so codebook choice, encoding, and ADC scoring
+    all replay exactly in ANSI SQL). PQ is the 100 TB memory answer:
+    a 64-float embedding (256 B) stores as m one-byte codes (8 B),
+    and query scoring reads only the codes column."""
+    full = sample_centroids(
+        embeddings, nlist=ksub, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    dim = len(full[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [[c[s * sub : (s + 1) * sub] for c in full] for s in range(m)]
+
+
+def pq_encode_expr(vec_col: str, codebooks: list[list[list[float]]]):
+    """array<int> of m PQ codes: per subspace, argmin over the ksub
+    sub-centroid squared distances (slice + sequential fold, first-min
+    tie-break — the exact shape assign_cell_expr uses, so the DuckDB
+    replay is bit-identical). Whole-stage-codegen, no Python."""
+    vc = F.col(vec_col).cast("array<double>")
+    codes = []
+    for s, book in enumerate(codebooks):
+        sub = len(book[0])
+        sl = F.slice(vc, s * sub + 1, sub)
+        dists = []
+        for c in book:
+            carr = F.array(*[F.lit(float(v)) for v in c])
+            dists.append(
+                F.aggregate(
+                    F.zip_with(sl, carr, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        darr = F.array(*dists)
+        codes.append(
+            (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_adc_tables(
+    codebooks: list[list[list[float]]], query_vec: list[float]
+) -> list[list[float]]:
+    """Asymmetric-distance tables: squared distance from each query
+    sub-vector to each sub-centroid, as left-folded Python doubles
+    (the literal values both the Spark plan and the SQL oracle embed,
+    so the three engines agree bit-for-bit)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    return [
+        [
+            _seq_sq_dist(query_vec[s * sub : (s + 1) * sub], c)
+            for c in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 50,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int | None = None,
+) -> DataFrame:
+    """PQ ANN with exact re-rank: encode the corpus to m-byte codes,
+    score candidates by ADC table lookups (a per-row sum of m array
+    element reads — no vector math on the scan side), keep the
+    ``rerank * k`` best by approximate distance, then run the exact
+    cosine top-k on the candidates only.
+
+    At scale the codes column is what the probe scan reads (8 B/vector
+    vs 256 B), and the ADC sum is whole-stage-codegen over literals —
+    the classic IVF-PQ serving shape with the IVF stage available via
+    ``ivf_ann_topk``'s cell filter when both are combined."""
+    books = pq_codebooks(
+        embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
+        **({} if seed is None else {"seed": seed}),
+    )
+    tables = pq_adc_tables(books, query_vec)
+    enc = embeddings.select(
+        id_col, vec_col, pq_encode_expr(vec_col, books).alias("_codes")
+    )
+    adc = None
+    for s in range(m):
+        tarr = F.array(*[F.lit(float(t)) for t in tables[s]])
+        term = F.element_at(tarr, F.col("_codes").getItem(s) + 1)
+        adc = term if adc is None else adc + term  # left-assoc chain
+    cand = (
+        enc.select(id_col, vec_col, F.round(adc, 6).alias("_adc"))
+        .orderBy("_adc", id_col)
+        .limit(int(rerank * k))
+        .drop("_adc")
+    )
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

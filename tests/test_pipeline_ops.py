@@ -185,3 +185,32 @@ def test_exact_dedup_null_keys_dedupe(spark):
     )
     kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
     assert kept == [1, 2, 5]
+
+
+def test_pq_ann_recall_and_determinism(spark):
+    """PQ ANN (8x one-byte codes + ADC + exact re-rank) recall vs the
+    exact top-k, plus rerun determinism (sample codebooks + first-min
+    tie-breaks leave nothing engine-ordered)."""
+    import pyspark.sql.functions as F
+
+    from geotools_spark.operators.similarity import cosine_topk, pq_ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
+    exact = {r.vec_id for r in cosine_topk(emb, qvec, k=20).collect()}
+    got = pq_ann_topk(emb, qvec, k=20, m=8, ksub=32, rerank=8).collect()
+    ids = [r.vec_id for r in got]
+    recall = len(exact & set(ids)) / len(exact)
+    assert recall >= 0.7, recall  # 0.9 measured; slack for fixture drift
+    assert 0 in ids  # the query vector survives quantization
+    again = [
+        r.vec_id
+        for r in pq_ann_topk(emb, qvec, k=20, m=8, ksub=32, rerank=8).collect()
+    ]
+    assert ids == again
+    # re-rank is exact: the returned cosines equal the brute-force ones
+    brute = {
+        r.vec_id: r.cosine for r in cosine_topk(emb, qvec, k=500).collect()
+    }
+    for r in got:
+        assert brute[r.vec_id] == r.cosine
