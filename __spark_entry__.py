@@ -1558,15 +1558,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rows-only (approximate / stateful / non-SQL-expressible) ---
         "rastfit": _q_rastfit,
         "csrs_transform": _q_csrs_transform,
-        "kriging": _q_kriging,
         "normalize_heights": _q_normalize_heights,
         "rugosity": _q_rugosity,
         "boundary": _q_boundary,
         "natural_neighbour": _q_natural_neighbour,
         "las_validate": _q_las_validate,
-        "ann_ivf": _q_ann_ivf,
-        "rastfit_idw": _q_rastfit_idw,
-        "ann_pq": _q_ann_pq,  # oracled r05: derivational PQ replay
+        # --- oracled in round 5 (past the 50-cap; pytest-hash-checked) ---
+        "kriging": _q_kriging,  # literal-folded independent solve
+        "ann_ivf": _q_ann_ivf,  # centroid/probe replay
+        "rastfit_idw": _q_rastfit_idw,  # sample replay + IDW kernel
+        "ann_pq": _q_ann_pq,  # derivational PQ replay
     }
 
 
