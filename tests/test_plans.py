@@ -192,3 +192,15 @@ def test_dup_spans_plan_is_jvm_only_with_partial_aggs(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial" in plan.lower()
     assert "xxhash64" in plan  # hash computed before the first exchange
+
+
+def test_pq_ann_plan_is_jvm_only_take_ordered(spark):
+    """PQ ANN's serving shape: the encode + ADC scoring is pure JVM
+    expression work (no Python eval anywhere), and both the candidate
+    cut and the final top-k compile to TakeOrderedAndProject — per-
+    partition local top-k, no global single-partition sort."""
+    df = entry_mod.queries()["ann_pq"](spark, SF)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "Exchange SinglePartition" not in plan
