@@ -1416,7 +1416,12 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-cosine re-rank all replay in DuckDB — fully hash-gated."""
     from geotools_spark.operators.similarity import pq_ann_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # pin: the query-vector fetch, the codebook sample, and the main
+    # action would otherwise each rescan the parquet (same pattern as
+    # rastfit/spectral)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint(
+        eager=True
+    )
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
     out = pq_ann_topk(emb, qvec, k=20, m=8, ksub=32, rerank=8)
     return out.select(

@@ -387,27 +387,38 @@ def pq_encode_expr(vec_col: str, codebooks: list[list[list[float]]]):
     """array<int> of m PQ codes: per subspace, argmin over the ksub
     sub-centroid squared distances (slice + sequential fold, first-min
     tie-break — the exact shape assign_cell_expr uses, so the DuckDB
-    replay is bit-identical). Whole-stage-codegen, no Python."""
+    replay is bit-identical).
+
+    Shape matters: the naive form (m*ksub separate aggregate
+    expressions) builds a ~2000-node plan that costs ~20 s of
+    planning/codegen PER QUERY regardless of row count. Instead the
+    codebook is ONE nested array literal and each subspace's distance
+    list is a single ``transform`` over it — 8 higher-order
+    expressions total, identical arithmetic (the inner fold is still
+    left-associated over the same doubles)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
     vc = F.col(vec_col).cast("array<double>")
-    codes = []
-    for s, book in enumerate(codebooks):
-        sub = len(book[0])
+    books = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(v)) for v in c]) for c in book
+        ])
+        for book in codebooks
+    ])
+
+    def code_for(s: int):
         sl = F.slice(vc, s * sub + 1, sub)
-        dists = []
-        for c in book:
-            carr = F.array(*[F.lit(float(v)) for v in c])
-            dists.append(
-                F.aggregate(
-                    F.zip_with(sl, carr, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-        darr = F.array(*dists)
-        codes.append(
-            (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        dists = F.transform(
+            F.element_at(books, s + 1),
+            lambda c: F.aggregate(
+                F.zip_with(sl, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         )
-    return F.array(*codes)
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return F.array(*[code_for(s) for s in range(m)])
 
 
 def pq_adc_tables(
