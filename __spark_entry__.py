@@ -1429,6 +1429,25 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined (the billion-vector serving shape): IVF probes
+    prune the scan to 4 of 8 cells, PQ ADC scores the survivors from
+    one-byte codes, exact cosine re-ranks. Both quantizers
+    deterministic — fully replayed in SQL."""
+    from geotools_spark.operators.similarity import ivf_pq_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint(
+        eager=True
+    )
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
+    out = ivf_pq_ann_topk(
+        emb, qvec, k=20, nlist=8, nprobe=4, m=8, ksub=32, rerank=8
+    )
+    return out.select(
+        "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def _q_flagship_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The headline pipeline itself behind the driver's gate (VERDICT
     r01 #10): synth interleaved docs -> span explode -> point decode ->
@@ -1573,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,  # centroid/probe replay
         "rastfit_idw": _q_rastfit_idw,  # sample replay + IDW kernel
         "ann_pq": _q_ann_pq,  # derivational PQ replay
+        "ann_ivfpq": _q_ann_ivfpq,  # IVF probes + PQ ADC + exact re-rank
     }
 
 
@@ -3116,6 +3136,76 @@ def oracle_sql() -> dict[str, str]:
                 FROM pqcents0),{",".join(_pq_parts)},
     adc AS (SELECT e.vec_id, ROUND({_pq_adc}, 6) AS adc
             FROM embeddings e {_pq_joins}),
+    cand AS (SELECT a.vec_id, e.embedding
+             FROM adc a JOIN embeddings e USING (vec_id)
+             ORDER BY a.adc, a.vec_id LIMIT 160),
+    scored AS (SELECT e.vec_id,
+                      ROUND({dot} / ({enorm} * {qnorm}), 6) AS cosine
+               FROM cand e, q),
+    ranked AS (SELECT vec_id, cosine,
+                      CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id)
+                           AS INTEGER) AS rank
+               FROM scored)
+    SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 20
+    """
+
+    # ann_ivfpq: the combined pipeline — IVF probe filter (ann_ivf's
+    # CTEs at nprobe=4) feeding PQ encode/ADC (ann_pq's CTEs computed
+    # over the SURVIVORS; codebooks still sampled from the full
+    # corpus, the index-time artifact) and the exact re-rank.
+    _ipq_parts = []
+    for s in range(8):
+        lo, hi = s * 8 + 1, s * 8 + 9
+        te = "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+        tq = "(CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+        _ipq_parts.append(f"""
+    pd{s} AS (SELECT e.vec_id, c.cidx,
+                     list_sum([{te} * {te} FOR i IN range({lo}, {hi})]) AS dd
+              FROM cand0 e CROSS JOIN pqcents c),
+    pcode{s} AS (SELECT vec_id, cidx AS code FROM (
+        SELECT vec_id, cidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, cidx) AS rn
+        FROM pd{s}) WHERE rn = 1),
+    pqd{s} AS (SELECT c.cidx,
+                      list_sum([{tq} * {tq} FOR i IN range({lo}, {hi})]) AS dd
+               FROM pqcents c, q)""")
+    _ipq_adc = " + ".join(f"a{s}.dd" for s in range(8))
+    _ipq_joins = " ".join(
+        f"JOIN pcode{s} c{s} USING (vec_id) "
+        f"JOIN pqd{s} a{s} ON a{s}.cidx = c{s}.code"
+        for s in range(8)
+    )
+    sqls["ann_ivfpq"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cents0 AS (SELECT vec_id, embedding,
+                      (vec_id * 104729 + 1299709) % 999983 AS ok
+               FROM embeddings ORDER BY ok, vec_id LIMIT 8),
+    cents AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY ok, vec_id) - 1
+                          AS INTEGER) AS cidx,
+                     embedding AS cv
+              FROM cents0),
+    dists AS (SELECT e.vec_id, c.cidx, {_sqd('e.embedding', 'c.cv')} AS dd
+              FROM embeddings e CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, cidx,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY dd, cidx) AS rn
+                 FROM dists),
+    cells AS (SELECT vec_id, cidx AS cell FROM assigned WHERE rn = 1),
+    qdc AS (SELECT c.cidx, {_sqd('q.qv', 'c.cv')} AS dd FROM cents c, q),
+    probes AS (SELECT cidx FROM qdc ORDER BY dd, cidx LIMIT 4),
+    cand0 AS (SELECT e.vec_id, e.embedding
+              FROM embeddings e JOIN cells USING (vec_id)
+              WHERE cells.cell IN (SELECT cidx FROM probes)),
+    pqcents0 AS (SELECT vec_id, embedding,
+                        (vec_id * 104729 + 1299709) % 999983 AS ok
+                 FROM embeddings ORDER BY ok, vec_id LIMIT 32),
+    pqcents AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY ok, vec_id) - 1
+                            AS INTEGER) AS cidx,
+                       embedding AS cv
+                FROM pqcents0),{",".join(_ipq_parts)},
+    adc AS (SELECT e.vec_id, ROUND({_ipq_adc}, 6) AS adc
+            FROM cand0 e {_ipq_joins}),
     cand AS (SELECT a.vec_id, e.embedding
              FROM adc a JOIN embeddings e USING (vec_id)
              ORDER BY a.adc, a.vec_id LIMIT 160),

@@ -450,6 +450,7 @@ def pq_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ ANN with exact re-rank: encode the corpus to m-byte codes,
     score candidates by ADC table lookups (a per-row sum of m array
@@ -461,7 +462,7 @@ def pq_ann_topk(
     vs 256 B), and the ADC sum is whole-stage-codegen over literals —
     the classic IVF-PQ serving shape with the IVF stage available via
     ``ivf_ann_topk``'s cell filter when both are combined."""
-    books = pq_codebooks(
+    books = codebooks if codebooks is not None else pq_codebooks(
         embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
         **({} if seed is None else {"seed": seed}),
     )
@@ -481,3 +482,44 @@ def pq_ann_topk(
         .drop("_adc")
     )
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_pq_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 50,
+    nlist: int = 16,
+    nprobe: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int | None = None,
+) -> DataFrame:
+    """IVF-PQ — the standard billion-vector serving shape: the IVF
+    coarse quantizer prunes the scan to ``nprobe`` of ``nlist`` cells
+    (partition-prunable when the table is written bucketed by cell,
+    see ``build_ivf_index``), PQ ADC scores the survivors from their
+    m one-byte codes, and the exact cosine re-ranks the ``rerank*k``
+    best. Both quantizers are the deterministic sample kind, so the
+    whole pipeline replays in SQL."""
+    centers = sample_centroids(
+        embeddings, nlist=nlist, id_col=id_col, vec_col=vec_col,
+        **({} if seed is None else {"seed": seed}),
+    )
+    probes = _probe_cells(centers, query_vec, nprobe)
+    # PQ codebooks are an INDEX-TIME artifact: sampled from the full
+    # corpus, not from the per-query probe subset
+    books = pq_codebooks(
+        embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
+        **({} if seed is None else {"seed": seed}),
+    )
+    cand = embeddings.withColumn(
+        "_cell", assign_cell_expr(vec_col, centers)
+    ).filter(F.col("_cell").isin([int(p) for p in probes])).drop("_cell")
+    return pq_ann_topk(
+        cand, query_vec, k=k, m=m, ksub=ksub, rerank=rerank,
+        id_col=id_col, vec_col=vec_col, codebooks=books,
+    )

@@ -214,3 +214,30 @@ def test_pq_ann_recall_and_determinism(spark):
     }
     for r in got:
         assert brute[r.vec_id] == r.cosine
+
+
+def test_ivf_pq_ann_recall(spark):
+    """IVF-PQ combined (probe pruning + ADC + exact re-rank) recall vs
+    the exact top-k; codebooks are the full-corpus index-time artifact
+    (not resampled from the probe subset)."""
+    import pyspark.sql.functions as F
+
+    from geotools_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").localCheckpoint(
+        eager=True
+    )
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
+    exact = {r.vec_id for r in cosine_topk(emb, qvec, k=20).collect()}
+    ids = [
+        r.vec_id
+        for r in ivf_pq_ann_topk(
+            emb, qvec, k=20, nlist=8, nprobe=4, m=8, ksub=32, rerank=8
+        ).collect()
+    ]
+    recall = len(exact & set(ids)) / len(exact)
+    assert recall >= 0.6, recall  # 0.8 measured; slack for fixture drift
+    assert 0 in ids
