@@ -1429,6 +1429,29 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN join — top-10 neighbours for a 5-vector query set in
+    one bucket-join job (the query-SET shape: per-query scans don't
+    survive 100 TB). Probe expansion ≡ hamming<=2, so the oracle
+    replays it as a bit_count filter over the plane-literal buckets."""
+    from geotools_spark.operators.similarity import lsh_ann_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint(
+        eager=True
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = lsh_ann_join(qs, emb, k=10, bits=6, probe_flips=2)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ combined (the billion-vector serving shape): IVF probes
     prune the scan to 4 of 8 cells, PQ ADC scores the survivors from
@@ -1593,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rastfit_idw": _q_rastfit_idw,  # sample replay + IDW kernel
         "ann_pq": _q_ann_pq,  # derivational PQ replay
         "ann_ivfpq": _q_ann_ivfpq,  # IVF probes + PQ ADC + exact re-rank
+        "ann_lsh_join": _q_ann_lsh_join,  # batch query-set bucket join
     }
 
 
@@ -3053,6 +3077,46 @@ def oracle_sql() -> dict[str, str]:
                            AS INTEGER) AS rank
                FROM scored)
     SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 20
+    """
+
+    # ann_lsh_join: the batch twin of ann_lsh — every (query, vector)
+    # pair within hamming<=2 of the plane-literal buckets, exact
+    # cosine, rank per query (Spark's probe explosion covers exactly
+    # that pair set, one mask per pair).
+    _dq = (
+        "list_sum([CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)"
+        " FOR i IN range(1, 65)])"
+    )
+    _ne = (
+        "SQRT(list_sum([CAST(embedding[i] AS DOUBLE)"
+        " * CAST(embedding[i] AS DOUBLE) FOR i IN range(1, 65)]))"
+    )
+    _nq = (
+        "SQRT(list_sum([CAST(qv[i] AS DOUBLE)"
+        " * CAST(qv[i] AS DOUBLE) FOR i IN range(1, 65)]))"
+    )
+    sqls["ann_lsh_join"] = f"""
+    WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 5),
+    eb AS (SELECT e.vec_id, e.embedding,
+                  ({_bucket_sql('e.embedding')}) AS bucket
+           FROM embeddings e),
+    qb AS (SELECT q.query_id, q.qv,
+                  ({_bucket_sql('q.qv')}) AS qbucket
+           FROM qs q),
+    pairs AS (SELECT qb.query_id, qb.qv, eb.vec_id, eb.embedding
+              FROM qb, eb
+              WHERE bit_count(xor(CAST(bucket AS BIGINT),
+                                  CAST(qbucket AS BIGINT))) <= 2),
+    scored AS (SELECT query_id, vec_id,
+                      ROUND({_dq} / ({_ne} * {_nq}), 6) AS cosine
+               FROM pairs),
+    ranked AS (SELECT query_id, vec_id, cosine,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY cosine DESC, vec_id)
+                           AS INTEGER) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
     """
 
     sqls["kriging"] = _oracle_kriging_sql()

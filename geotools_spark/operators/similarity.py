@@ -523,3 +523,69 @@ def ivf_pq_ann_topk(
         cand, query_vec, k=k, m=m, ksub=ksub, rerank=rerank,
         id_col=id_col, vec_col=vec_col, codebooks=books,
     )
+
+
+def lsh_ann_join(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    *,
+    k: int = 10,
+    bits: int = 8,
+    probe_flips: int = 2,
+    dim: int = 64,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Batch ANN: top-k neighbours for a whole QUERY SET in one job —
+    the shape a training-data pipeline needs (dedupe a crawl against a
+    corpus, retrieve per-document neighbours), where per-query
+    ``cosine_topk`` loops would be one full scan each.
+
+    Multi-probe as a JOIN: the query side explodes to its probe
+    buckets (identity + every <=``probe_flips``-bit flip — each
+    candidate pair matches through exactly ONE mask, qb^eb, so no
+    dedup pass is needed), both sides shuffle once on bucket id, and
+    the exact cosine + per-query rank window run inside the join
+    output. The window partitions by query id — no single-partition
+    stage anywhere. Equivalent by construction to pairing every
+    (query, vector) with hamming(buckets) <= probe_flips, which is
+    what the DuckDB oracle replays."""
+    planes = hyperplanes(dim, bits, seed)
+    masks = [0]
+    if probe_flips >= 1:
+        masks += [1 << b for b in range(bits)]
+    if probe_flips >= 2:
+        masks += [
+            (1 << b1) | (1 << b2)
+            for b1 in range(bits)
+            for b2 in range(b1 + 1, bits)
+        ]
+    emb_b = embeddings.select(id_col, vec_col).withColumn(
+        "_bucket", bucket_expr(F.col(vec_col), planes)
+    )
+    q_exp = (
+        queries.select(q_id_col, q_vec_col)
+        .withColumn("_qb", bucket_expr(F.col(q_vec_col), planes))
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.array(
+                    *[F.col("_qb").bitwiseXOR(F.lit(int(m))) for m in masks]
+                )
+            ),
+        )
+        .drop("_qb")
+    )
+    j = q_exp.join(emb_b, "_bucket").drop("_bucket")
+    cos = _dot_cols_expr(F.col(q_vec_col), F.col(vec_col)) / (
+        F.sqrt(_norm2_expr(F.col(vec_col)))
+        * F.sqrt(_norm2_expr(F.col(q_vec_col)))
+    )
+    scored = j.select(q_id_col, id_col, F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return scored.withColumn(
+        "rank", F.row_number().over(w)
+    ).filter(F.col("rank") <= k)

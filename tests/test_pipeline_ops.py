@@ -241,3 +241,41 @@ def test_ivf_pq_ann_recall(spark):
     recall = len(exact & set(ids)) / len(exact)
     assert recall >= 0.6, recall  # 0.8 measured; slack for fixture drift
     assert 0 in ids
+
+
+def test_lsh_ann_join_batch_recall(spark):
+    """Batch LSH join: per-query top-k over a query SET in one bucket
+    join. Each query's result matches the per-query multiprobe
+    lsh_ann_topk (same planes, same hamming<=2 probe set), and every
+    query retrieves itself at rank 1."""
+    import pyspark.sql.functions as F
+
+    from geotools_spark.operators.similarity import (
+        lsh_ann_join,
+        lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").localCheckpoint(
+        eager=True
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = lsh_ann_join(qs, emb, k=10, bits=6, probe_flips=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert rows[0] == (1, qid)  # self at rank 1
+        qvec = [
+            float(v)
+            for v in emb.filter(F.col("vec_id") == qid).first().embedding
+        ]
+        single = [
+            (r.rank, r.vec_id)
+            for r in lsh_ann_topk(emb, qvec, k=10, bits=6).collect()
+        ]
+        assert rows == sorted(single), qid

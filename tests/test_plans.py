@@ -204,3 +204,14 @@ def test_pq_ann_plan_is_jvm_only_take_ordered(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "Exchange SinglePartition" not in plan
+
+
+def test_lsh_ann_join_no_single_partition(spark):
+    """Batch ANN join plan: equi-join on bucket id (no cartesian
+    product), rank window partitioned by query id — no global
+    single-partition stage, no Python eval."""
+    df = entry_mod.queries()["ann_lsh_join"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
