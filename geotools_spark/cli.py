@@ -1,0 +1,266 @@
+"""``python -m geotools_spark <tool> ...`` — the command surface a
+reference user expects, one subcommand per geotools program, with the
+parameter names of the reference's config structs (pointstats_config
+``defaultResolution``/``defaultAngleLimit``/... src/pointstats.cpp:
+46-60; the reference itself drives these via Qt UIs and config
+structs, not getopt — this CLI exposes the same knobs as flags over
+the Spark operators).
+
+I/O model: inputs are parquet point tables with the engine's point
+schema (pid, x, y, z, cls, intensity, return_num, num_returns, ...) —
+produce one from the interleaved documents table with the ``derive``
+subcommand. Outputs are parquet directories (add ``--csv`` for a CSV
+directory via the csvio sink).
+
+Every subcommand is a thin argparse wrapper over an operator that is
+independently oracled/tested; nothing here adds semantics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(args):
+    from geotools_spark.session import get_spark
+
+    return get_spark(
+        f"geotools-{args.tool}",
+        cores=args.cores,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def _read_points(spark, args):
+    df = spark.read.parquet(args.input)
+    if args.cls or args.angle_limit is not None:
+        from geotools_spark.operators.gridstats import point_filters
+
+        df = point_filters(
+            df,
+            cls_set=[int(c) for c in args.cls.split(",")] if args.cls else None,
+            scan_angle_max=args.angle_limit,
+        )
+    return df
+
+
+def _with_cells(df, args):
+    from pyspark.sql import functions as F
+
+    from geotools_spark.functions.cells import snap_bounds, with_cell
+
+    b = df.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).first()
+    minx, miny, maxx, maxy = snap_bounds(
+        b[0], b[2], b[1], b[3], res=args.resolution
+    )
+    cols = max(1, int(round((maxx - minx) / args.resolution)))
+    rows = max(1, int(round((maxy - miny) / args.resolution)))
+    return with_cell(
+        df, minx=minx, miny=miny, res=args.resolution, cols=cols, rows=rows,
+        yflip=True,
+    )
+
+
+def _write(df, args) -> None:
+    if getattr(args, "csv", False):
+        from geotools_spark.sources.csvio import write_stats_csv
+
+        write_stats_csv(df, args.output)
+    else:
+        df.write.mode("overwrite").parquet(args.output)
+
+
+def _cmd_derive(args) -> None:
+    """documents parquet -> point table parquet (span explode+decode)."""
+    spark = _spark(args)
+    from geotools_spark.testkit import derive
+
+    import os
+
+    _write(derive.points_df(spark, os.path.dirname(args.input.rstrip("/"))
+                            if args.input.endswith("documents.parquet")
+                            else args.input), args)
+
+
+def _cmd_pointstats(args) -> None:
+    spark = _spark(args)
+    from geotools_spark.operators.gridstats import cell_stats
+
+    pts = _with_cells(_read_points(spark, args), args)
+    _write(
+        cell_stats(
+            pts,
+            value=args.attribute,
+            stats=tuple(args.type.split(",")),
+            res=args.resolution,
+            quantile_num=args.quantiles,
+        ),
+        args,
+    )
+
+
+def _cmd_lasgrid(args) -> None:
+    # lasgrid is pointstats' single-pass sibling; same grid semantics
+    _cmd_pointstats(args)
+
+
+def _cmd_lasmerge(args) -> None:
+    spark = _spark(args)
+    from geotools_spark.operators.merge import header_stats, merge_points
+
+    dfs = [spark.read.parquet(p) for p in args.input.split(",")]
+    bounds = (
+        tuple(float(v) for v in args.bounds.split(",")) if args.bounds else None
+    )
+    merged = merge_points(dfs, bounds=bounds)
+    _write(merged, args)
+    if args.header_out:
+        header_stats(merged).write.mode("overwrite").parquet(args.header_out)
+
+
+def _cmd_pointzonalstats(args) -> None:
+    spark = _spark(args)
+    from geotools_spark.operators.zonal import zonal_stats
+
+    pts = _read_points(spark, args)
+    zones = spark.read.parquet(args.zones)
+    _write(zonal_stats(pts, zones), args)
+
+
+def _cmd_pointnormalize(args) -> None:
+    spark = _spark(args)
+    from geotools_spark.operators.terrain import normalize_heights
+
+    _write(
+        normalize_heights(
+            _read_points(spark, args),
+            res=args.resolution,
+            rings=args.rings,
+            ground_cls=args.ground_cls,
+            drop_negative=args.drop_negative,
+        ),
+        args,
+    )
+
+
+def _cmd_las2csrs(args) -> None:
+    spark = _spark(args)
+    from geotools_spark.operators.csrs import las2csrs
+
+    _write(
+        las2csrs(
+            _read_points(spark, args),
+            ffrom=args.ffrom,
+            efrom=args.efrom,
+            eto=args.eto,
+            fsrid=args.fsrid,
+            tsrid=args.tsrid,
+        ),
+        args,
+    )
+
+
+def _cmd_lasboundary(args) -> None:
+    spark = _spark(args)
+    from geotools_spark.operators.terrain import boundary_edges
+
+    _write(
+        boundary_edges(
+            _read_points(spark, args),
+            res=args.resolution,
+            max_edge=args.max_edge,
+        ),
+        args,
+    )
+
+
+def _cmd_lasvalidate(args) -> None:
+    spark = _spark(args)
+    from geotools_spark.operators.terrain import validate_stations
+
+    pts = _read_points(spark, args)
+    stations = spark.read.parquet(args.stations)
+    _write(validate_stations(stations, pts, radius=args.radius), args)
+
+
+_TOOLS = {
+    "derive": (_cmd_derive, "documents table -> point table"),
+    "pointstats": (_cmd_pointstats, "grid-cell statistics (pointstats)"),
+    "lasgrid": (_cmd_lasgrid, "grid-cell statistics (lasgrid semantics)"),
+    "lasmerge": (_cmd_lasmerge, "merge point tables (+bounds, header)"),
+    "pointzonalstats": (_cmd_pointzonalstats, "zone x class statistics"),
+    "pointnormalize": (_cmd_pointnormalize, "TIN height normalization"),
+    "las2csrs": (_cmd_las2csrs, "datum/epoch transform"),
+    "lasboundary": (_cmd_lasboundary, "alpha-shape boundary edges"),
+    "lasvalidate": (_cmd_lasvalidate, "station TIN validation"),
+}
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="geotools_spark",
+        description=__doc__.split("\n")[0],
+    )
+    sub = p.add_subparsers(dest="tool", required=True)
+    for name, (_fn, help_) in _TOOLS.items():
+        sp = sub.add_parser(name, help=help_)
+        sp.add_argument("input", help="input parquet path")
+        sp.add_argument("output", help="output parquet/CSV directory")
+        sp.add_argument("--cores", type=int, default=4)
+        sp.add_argument("--shuffle-partitions", type=int, default=8)
+        sp.add_argument("--csv", action="store_true", help="CSV output")
+        sp.add_argument("--cls", default="", help="class filter, comma list")
+        sp.add_argument(
+            "--angle-limit", type=float, default=None,
+            help="abs scan-angle limit (defaultAngleLimit)",
+        )
+        if name in ("pointstats", "lasgrid"):
+            sp.add_argument(
+                "--resolution", type=float, default=10.0,
+                help="cell size (defaultResolution)",
+            )
+            sp.add_argument(
+                "--type", default="mean",
+                help="comma list: count,min,max,mean,median,stddev,variance,density,quantiles",
+            )
+            sp.add_argument("--attribute", default="z")
+            sp.add_argument(
+                "--quantiles", type=int, default=4,
+                help="quantile divisions (defaultQuantiles)",
+            )
+        elif name == "lasmerge":
+            sp.add_argument("--bounds", default="", help="minx,miny,maxx,maxy")
+            sp.add_argument("--header-out", default="")
+        elif name == "pointzonalstats":
+            sp.add_argument("--zones", required=True, help="zones parquet")
+        elif name == "pointnormalize":
+            sp.add_argument("--resolution", type=float, default=10.0)
+            sp.add_argument("--rings", type=int, default=1)
+            sp.add_argument("--ground-cls", type=int, default=2)
+            sp.add_argument("--drop-negative", action="store_true")
+        elif name == "las2csrs":
+            sp.add_argument("--ffrom", default="itrf2000")
+            sp.add_argument("--efrom", type=float, default=1986.0)
+            sp.add_argument("--eto", type=float, default=2011.0)
+            sp.add_argument("--fsrid", type=int, default=26912)
+            sp.add_argument("--tsrid", type=int, default=2956)
+        elif name == "lasboundary":
+            sp.add_argument("--resolution", type=float, default=5.0)
+            sp.add_argument("--max-edge", type=float, default=10.0)
+        elif name == "lasvalidate":
+            sp.add_argument("--stations", required=True)
+            sp.add_argument("--radius", type=float, default=5.0)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+    _TOOLS[args.tool][0](args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,64 @@
+"""CLI surface: each subcommand is a thin wrapper over an oracled
+operator; these tests pin the wiring (flags reach the operator, output
+lands where asked) on sf0.001, not the semantics (the operators' own
+oracles do that)."""
+
+import os
+
+import pytest
+
+from geotools_spark import cli
+
+
+@pytest.fixture(scope="module")
+def points_path(spark, tmp_path_factory):
+    td = str(tmp_path_factory.mktemp("cli"))
+    out = os.path.join(td, "points")
+    assert cli.main(["derive", "/root/testdata/sf0.001", out]) == 0
+    return out
+
+
+def test_cli_pointstats_grid(spark, points_path, tmp_path):
+    out = str(tmp_path / "grid")
+    rc = cli.main([
+        "pointstats", points_path, out,
+        "--resolution", "2", "--type", "count,mean,stddev",
+        "--cls", "1,2",
+    ])
+    assert rc == 0
+    df = spark.read.parquet(out)
+    assert df.count() > 0
+    assert {"cell_col", "cell_row", "count", "mean", "stddev"} <= set(
+        df.columns
+    )
+
+
+def test_cli_lasmerge_bounds_and_header(spark, points_path, tmp_path):
+    out = str(tmp_path / "merged")
+    hdr = str(tmp_path / "hdr")
+    rc = cli.main([
+        "lasmerge", f"{points_path},{points_path}", out,
+        "--bounds", "0,0,50,50", "--header-out", hdr,
+    ])
+    assert rc == 0
+    merged = spark.read.parquet(out)
+    n_one = spark.read.parquet(points_path).filter(
+        "x >= 0 and x <= 50 and y >= 0 and y <= 50"
+    ).count()
+    assert merged.count() == 2 * n_one  # two copies, same bounds filter
+    h = spark.read.parquet(hdr).first()
+    assert h.n_points == 2 * n_one and h.maxx <= 50.0
+
+
+def test_cli_pointnormalize(spark, points_path, tmp_path):
+    out = str(tmp_path / "norm")
+    assert cli.main([
+        "pointnormalize", points_path, out, "--resolution", "4",
+    ]) == 0
+    df = spark.read.parquet(out)
+    assert "z_norm" in df.columns and df.count() > 0
+
+
+def test_cli_unknown_tool_rejected():
+    with pytest.raises(SystemExit):
+        cli.main(["frobnicate", "a", "b"])
