@@ -123,11 +123,13 @@ def _cmd_lasmerge(args) -> None:
 
 def _cmd_pointzonalstats(args) -> None:
     spark = _spark(args)
-    from geotools_spark.operators.zonal import zonal_stats
+    from geotools_spark.operators.zonal import zonal_stats, zone_lookup
 
-    pts = _read_points(spark, args)
+    # zones: long-form (cell_col, cell_row, zone_id) raster table;
+    # points get their cell at the zone raster's resolution first
+    pts = _with_cells(_read_points(spark, args), args)
     zones = spark.read.parquet(args.zones)
-    _write(zonal_stats(pts, zones), args)
+    _write(zonal_stats(zone_lookup(pts, zones)), args)
 
 
 def _cmd_pointnormalize(args) -> None:
@@ -181,7 +183,7 @@ def _cmd_lasvalidate(args) -> None:
     spark = _spark(args)
     from geotools_spark.operators.terrain import validate_stations
 
-    pts = _read_points(spark, args)
+    pts = _read_points(spark, args).withColumnRenamed("pid", "sid")
     stations = spark.read.parquet(args.stations)
     _write(validate_stations(stations, pts, radius=args.radius), args)
 
@@ -235,7 +237,14 @@ def _parser() -> argparse.ArgumentParser:
             sp.add_argument("--bounds", default="", help="minx,miny,maxx,maxy")
             sp.add_argument("--header-out", default="")
         elif name == "pointzonalstats":
-            sp.add_argument("--zones", required=True, help="zones parquet")
+            sp.add_argument(
+                "--zones", required=True,
+                help="zones parquet: (cell_col, cell_row, zone_id)",
+            )
+            sp.add_argument(
+                "--resolution", type=float, default=10.0,
+                help="zone raster cell size",
+            )
         elif name == "pointnormalize":
             sp.add_argument("--resolution", type=float, default=10.0)
             sp.add_argument("--rings", type=int, default=1)

@@ -62,3 +62,45 @@ def test_cli_pointnormalize(spark, points_path, tmp_path):
 def test_cli_unknown_tool_rejected():
     with pytest.raises(SystemExit):
         cli.main(["frobnicate", "a", "b"])
+
+
+def test_cli_pointzonalstats(spark, points_path, tmp_path):
+    # zones: long-form raster covering the cell grid at res=4
+    zones = str(tmp_path / "zones")
+    spark.sql(
+        "SELECT CAST(c AS BIGINT) AS cell_col, CAST(r AS BIGINT) AS cell_row,"
+        " CAST((c + r) % 3 AS INT) AS zone_id"
+        " FROM (SELECT explode(sequence(0, 31)) AS c)"
+        " LATERAL VIEW explode(sequence(0, 31)) t AS r"
+    ).write.parquet(zones)
+    out = str(tmp_path / "zstats")
+    rc = cli.main([
+        "pointzonalstats", points_path, out,
+        "--zones", zones, "--resolution", "4",
+    ])
+    assert rc == 0
+    df = spark.read.parquet(out)
+    assert df.count() > 0 and {"zone_id", "cls", "mean"} <= set(df.columns)
+
+
+def test_cli_las2csrs_and_lasvalidate(spark, points_path, tmp_path):
+    shifted = str(tmp_path / "pts_utm")
+    spark.read.parquet(points_path).selectExpr(
+        "pid", "x * 1000.0 + 440000.0 AS x", "y * 1000.0 + 6480000.0 AS y",
+        "z",
+    ).write.parquet(shifted)
+    out = str(tmp_path / "csrs")
+    assert cli.main(["las2csrs", shifted, out]) == 0
+    df = spark.read.parquet(out)
+    assert df.count() > 0
+
+    stations = str(tmp_path / "stations")
+    spark.read.parquet(points_path).filter("pid % 97 = 0").selectExpr(
+        "pid AS qid", "x AS qx", "y AS qy", "z AS qz"
+    ).write.parquet(stations)
+    vout = str(tmp_path / "validated")
+    assert cli.main([
+        "lasvalidate", points_path, vout,
+        "--stations", stations, "--radius", "1.5",
+    ]) == 0
+    assert spark.read.parquet(vout).count() > 0
