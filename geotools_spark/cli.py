@@ -165,6 +165,16 @@ def _cmd_las2csrs(args) -> None:
     )
 
 
+def _cmd_lasclip(args) -> None:
+    spark = _spark(args)
+    from geotools_spark.operators.pip import pip_join
+
+    pts = _read_points(spark, args)
+    polys = spark.read.parquet(args.polygons)
+    how = "inner" if args.keep_poly_id else "left_semi"
+    _write(pip_join(pts, polys, res=args.bucket_res, how=how), args)
+
+
 def _cmd_lasboundary(args) -> None:
     spark = _spark(args)
     from geotools_spark.operators.terrain import boundary_edges
@@ -194,6 +204,7 @@ _TOOLS = {
     "lasgrid": (_cmd_lasgrid, "grid-cell statistics (lasgrid semantics)"),
     "lasmerge": (_cmd_lasmerge, "merge point tables (+bounds, header)"),
     "pointzonalstats": (_cmd_pointzonalstats, "zone x class statistics"),
+    "lasclip": (_cmd_lasclip, "clip points to polygons (PIP semi-join)"),
     "pointnormalize": (_cmd_pointnormalize, "TIN height normalization"),
     "las2csrs": (_cmd_las2csrs, "datum/epoch transform"),
     "lasboundary": (_cmd_lasboundary, "alpha-shape boundary edges"),
@@ -244,6 +255,16 @@ def _parser() -> argparse.ArgumentParser:
             sp.add_argument(
                 "--resolution", type=float, default=10.0,
                 help="zone raster cell size",
+            )
+        elif name == "lasclip":
+            sp.add_argument(
+                "--polygons", required=True,
+                help="polygons parquet: (poly_id, ring array<struct<x,y>>)",
+            )
+            sp.add_argument("--bucket-res", type=float, default=8.0)
+            sp.add_argument(
+                "--keep-poly-id", action="store_true",
+                help="inner join (point x containing polygon) instead of clip",
             )
         elif name == "pointnormalize":
             sp.add_argument("--resolution", type=float, default=10.0)

@@ -104,3 +104,21 @@ def test_cli_las2csrs_and_lasvalidate(spark, points_path, tmp_path):
         "--stations", stations, "--radius", "1.5",
     ]) == 0
     assert spark.read.parquet(vout).count() > 0
+
+
+def test_cli_lasclip(spark, points_path, tmp_path):
+    polys = str(tmp_path / "polys")
+    spark.createDataFrame(
+        [(1, [{"x": 0.0, "y": 0.0}, {"x": 30.0, "y": 0.0},
+              {"x": 30.0, "y": 30.0}, {"x": 0.0, "y": 30.0}])],
+        "poly_id int, ring array<struct<x:double,y:double>>",
+    ).write.parquet(polys)
+    out = str(tmp_path / "clipped")
+    assert cli.main([
+        "lasclip", points_path, out, "--polygons", polys,
+    ]) == 0
+    df = spark.read.parquet(out)
+    # the box is a strict subset of the extent: some points clipped away
+    n_all = spark.read.parquet(points_path).count()
+    assert 0 < df.count() < n_all
+    assert df.filter("x > 30.0 or y > 30.0").count() == 0
