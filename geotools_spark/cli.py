@@ -32,8 +32,8 @@ def _spark(args):
     )
 
 
-def _read_points(spark, args):
-    df = spark.read.parquet(args.input)
+def _read_points(spark, args, path=None):
+    df = spark.read.parquet(path if path is not None else args.input)
     if args.cls or args.angle_limit is not None:
         from geotools_spark.operators.gridstats import point_filters
 
@@ -50,17 +50,37 @@ def _with_cells(df, args):
 
     from geotools_spark.functions.cells import snap_bounds, with_cell
 
-    b = df.agg(
-        F.min("x"), F.max("x"), F.min("y"), F.max("y")
-    ).first()
-    minx, miny, maxx, maxy = snap_bounds(
-        b[0], b[2], b[1], b[3], res=args.resolution
-    )
+    if getattr(args, "bounds", ""):
+        # explicit grid: skips the extent-probe scan (the scale path —
+        # a data-dependent grid always costs one stats pass first)
+        minx, miny, maxx, maxy = (
+            float(v) for v in args.bounds.split(",")
+        )
+        minx, miny, maxx, maxy = snap_bounds(
+            minx, miny, maxx, maxy, res=args.resolution
+        )
+    else:
+        b = df.agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        ).first()
+        minx, miny, maxx, maxy = snap_bounds(
+            b[0], b[2], b[1], b[3], res=args.resolution
+        )
     cols = max(1, int(round((maxx - minx) / args.resolution)))
     rows = max(1, int(round((maxy - miny) / args.resolution)))
-    return with_cell(
+    out = with_cell(
         df, minx=minx, miny=miny, res=args.resolution, cols=cols, rows=rows,
         yflip=True,
+    )
+    # points exactly on the snapped max bound floor to cell == cols
+    # (and yflip maps them to row -1): clamp onto the last cell, the
+    # closed-max convention of the reference's bounds containment
+    return out.withColumn(
+        "cell_col", F.least(F.greatest(F.col("cell_col"), F.lit(0)),
+                            F.lit(cols - 1))
+    ).withColumn(
+        "cell_row", F.least(F.greatest(F.col("cell_row"), F.lit(0)),
+                            F.lit(rows - 1))
     )
 
 
@@ -74,15 +94,24 @@ def _write(df, args) -> None:
 
 
 def _cmd_derive(args) -> None:
-    """documents parquet -> point table parquet (span explode+decode)."""
+    """-> point table parquet. Two sources: ``--from-docs`` treats the
+    input as an interleaved documents table and runs the engine's span
+    explode + vectorized point decode (the LAS-scan analogue);
+    otherwise the input is a driver-testdata directory and points come
+    from the deterministic lineitem derivation (testkit.derive)."""
     spark = _spark(args)
-    from geotools_spark.testkit import derive
+    if args.from_docs:
+        from geotools_spark.operators.spans import (
+            explode_spans,
+            parse_point_spans,
+        )
 
-    import os
+        docs = spark.read.parquet(args.input)
+        _write(parse_point_spans(explode_spans(docs)), args)
+    else:
+        from geotools_spark.testkit import derive
 
-    _write(derive.points_df(spark, os.path.dirname(args.input.rstrip("/"))
-                            if args.input.endswith("documents.parquet")
-                            else args.input), args)
+        _write(derive.points_df(spark, args.input.rstrip("/")), args)
 
 
 def _cmd_pointstats(args) -> None:
@@ -111,7 +140,9 @@ def _cmd_lasmerge(args) -> None:
     spark = _spark(args)
     from geotools_spark.operators.merge import header_stats, merge_points
 
-    dfs = [spark.read.parquet(p) for p in args.input.split(",")]
+    # per-input class/angle filters apply BEFORE the merge (the
+    # reference filters each source file on read)
+    dfs = [_read_points(spark, args, path=p) for p in args.input.split(",")]
     bounds = (
         tuple(float(v) for v in args.bounds.split(",")) if args.bounds else None
     )
@@ -123,11 +154,27 @@ def _cmd_lasmerge(args) -> None:
 
 def _cmd_pointzonalstats(args) -> None:
     spark = _spark(args)
+    from pyspark.sql import functions as F
+
     from geotools_spark.operators.zonal import zonal_stats, zone_lookup
 
-    # zones: long-form (cell_col, cell_row, zone_id) raster table;
-    # points get their cell at the zone raster's resolution first
-    pts = _with_cells(_read_points(spark, args), args)
+    # zones: long-form (cell_col, cell_row, zone_id) raster table.
+    # Point cells use the ZONE RASTER's fixed grid — --origin +
+    # --resolution, floor, no y-flip (the engine's zonal convention) —
+    # never a data-dependent extent, which would silently shift the
+    # join whenever the input (or a --cls filter) changes.
+    ox, oy = (float(v) for v in args.origin.split(","))
+    pts = _read_points(spark, args).withColumn(
+        "cell_col",
+        F.floor((F.col("x") - F.lit(ox)) / F.lit(args.resolution)).cast(
+            "bigint"
+        ),
+    ).withColumn(
+        "cell_row",
+        F.floor((F.col("y") - F.lit(oy)) / F.lit(args.resolution)).cast(
+            "bigint"
+        ),
+    )
     zones = spark.read.parquet(args.zones)
     _write(zonal_stats(zone_lookup(pts, zones)), args)
 
@@ -225,11 +272,21 @@ def _parser() -> argparse.ArgumentParser:
         sp.add_argument("--cores", type=int, default=4)
         sp.add_argument("--shuffle-partitions", type=int, default=8)
         sp.add_argument("--csv", action="store_true", help="CSV output")
-        sp.add_argument("--cls", default="", help="class filter, comma list")
-        sp.add_argument(
-            "--angle-limit", type=float, default=None,
-            help="abs scan-angle limit (defaultAngleLimit)",
-        )
+        if name != "derive":  # derive has no point columns to filter
+            sp.add_argument(
+                "--cls", default="", help="class filter, comma list"
+            )
+            sp.add_argument(
+                "--angle-limit", type=float, default=None,
+                help="abs scan-angle limit (defaultAngleLimit)",
+            )
+        if name == "derive":
+            sp.add_argument(
+                "--from-docs", action="store_true",
+                help="input is an interleaved documents table: span "
+                     "explode + point decode instead of the testdata "
+                     "derivation",
+            )
         if name in ("pointstats", "lasgrid"):
             sp.add_argument(
                 "--resolution", type=float, default=10.0,
@@ -244,6 +301,11 @@ def _parser() -> argparse.ArgumentParser:
                 "--quantiles", type=int, default=4,
                 help="quantile divisions (defaultQuantiles)",
             )
+            sp.add_argument(
+                "--bounds", default="",
+                help="minx,miny,maxx,maxy grid extent (skips the "
+                     "extent-probe scan; the scale path)",
+            )
         elif name == "lasmerge":
             sp.add_argument("--bounds", default="", help="minx,miny,maxx,maxy")
             sp.add_argument("--header-out", default="")
@@ -255,6 +317,11 @@ def _parser() -> argparse.ArgumentParser:
             sp.add_argument(
                 "--resolution", type=float, default=10.0,
                 help="zone raster cell size",
+            )
+            sp.add_argument(
+                "--origin", default="0,0",
+                help="zone raster origin minx,miny (grid convention: "
+                     "floor((p-origin)/res), no y-flip)",
             )
         elif name == "lasclip":
             sp.add_argument(

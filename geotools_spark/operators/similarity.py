@@ -152,6 +152,22 @@ def assign_cell_expr(vec_col: str, centers: list[list[float]]):
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
+def probe_masks(bits: int, probe_flips: int) -> list[int]:
+    """Identity + every <=probe_flips-bit flip mask, ascending flip
+    count (itertools over bit positions — shared by the single-vector
+    and the batch multi-probe paths)."""
+    import itertools
+
+    masks = [0]
+    for nf in range(1, probe_flips + 1):
+        for combo in itertools.combinations(range(bits), nf):
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def _probe_cells(
     centers: list[list[float]], query_vec: list[float], nprobe: int
 ) -> list[int]:
@@ -341,16 +357,7 @@ def lsh_ann_topk(
     for b in range(bits):
         if float(planes[b] @ q) > 0:
             qbucket |= 1 << b
-    probes = {qbucket}
-    if probe_flips >= 1:
-        probes |= {qbucket ^ (1 << b) for b in range(bits)}
-    if probe_flips >= 2:
-        probes |= {
-            qbucket ^ (1 << b1) ^ (1 << b2)
-            for b1 in range(bits)
-            for b2 in range(b1 + 1, bits)
-        }
-    probes = sorted(probes)
+    probes = sorted({qbucket ^ m for m in probe_masks(bits, probe_flips)})
     bucketed = embeddings.withColumn("_bucket", bucket_expr(F.col(vec_col), planes))
     cand = bucketed.filter(F.col("_bucket").isin(probes))
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
@@ -505,17 +512,26 @@ def ivf_pq_ann_topk(
     m one-byte codes, and the exact cosine re-ranks the ``rerank*k``
     best. Both quantizers are the deterministic sample kind, so the
     whole pipeline replays in SQL."""
-    centers = sample_centroids(
-        embeddings, nlist=nlist, id_col=id_col, vec_col=vec_col,
+    # ONE sample job covers both quantizers: the affine-mod order is
+    # identical, so the IVF centers are exactly the first nlist rows
+    # of the PQ sample (two separate collects would rescan the corpus)
+    nsamp = max(nlist, ksub)
+    full = sample_centroids(
+        embeddings, nlist=nsamp, id_col=id_col, vec_col=vec_col,
         **({} if seed is None else {"seed": seed}),
     )
+    centers = full[:nlist]
     probes = _probe_cells(centers, query_vec, nprobe)
     # PQ codebooks are an INDEX-TIME artifact: sampled from the full
     # corpus, not from the per-query probe subset
-    books = pq_codebooks(
-        embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
-        **({} if seed is None else {"seed": seed}),
-    )
+    dim = len(full[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = [
+        [c[s_ * sub : (s_ + 1) * sub] for c in full[:ksub]]
+        for s_ in range(m)
+    ]
     cand = embeddings.withColumn(
         "_cell", assign_cell_expr(vec_col, centers)
     ).filter(F.col("_cell").isin([int(p) for p in probes])).drop("_cell")
@@ -554,15 +570,7 @@ def lsh_ann_join(
     (query, vector) with hamming(buckets) <= probe_flips, which is
     what the DuckDB oracle replays."""
     planes = hyperplanes(dim, bits, seed)
-    masks = [0]
-    if probe_flips >= 1:
-        masks += [1 << b for b in range(bits)]
-    if probe_flips >= 2:
-        masks += [
-            (1 << b1) | (1 << b2)
-            for b1 in range(bits)
-            for b2 in range(b1 + 1, bits)
-        ]
+    masks = probe_masks(bits, probe_flips)
     emb_b = embeddings.select(id_col, vec_col).withColumn(
         "_bucket", bucket_expr(F.col(vec_col), planes)
     )

@@ -122,3 +122,30 @@ def test_cli_lasclip(spark, points_path, tmp_path):
     n_all = spark.read.parquet(points_path).count()
     assert 0 < df.count() < n_all
     assert df.filter("x > 30.0 or y > 30.0").count() == 0
+
+
+def test_cli_pointstats_exact_max_bound_clamps(spark, tmp_path):
+    """A point exactly on the snapped max bound must land in the last
+    cell, not overflow the grid (yflip would otherwise map it to row
+    -1)."""
+    src = str(tmp_path / "edge_pts")
+    spark.createDataFrame(
+        [(0, 0.5, 0.5, 1.0, 1), (1, 8.0, 8.0, 2.0, 1)],
+        "pid long, x double, y double, z double, cls int",
+    ).write.parquet(src)
+    out = str(tmp_path / "edge_grid")
+    assert cli.main([
+        "pointstats", src, out, "--resolution", "4", "--type", "count",
+    ]) == 0
+    df = spark.read.parquet(out)
+    assert df.agg({"count": "sum"}).first()[0] == 2  # nothing dropped
+    assert df.filter("cell_row < 0 or cell_col < 0").count() == 0
+
+
+def test_cli_lasmerge_applies_filters(spark, points_path, tmp_path):
+    out = str(tmp_path / "merged_f")
+    assert cli.main([
+        "lasmerge", points_path, out, "--cls", "2",
+    ]) == 0
+    df = spark.read.parquet(out)
+    assert df.count() > 0 and df.filter("cls <> 2").count() == 0

@@ -279,3 +279,11 @@ def test_lsh_ann_join_batch_recall(spark):
             for r in lsh_ann_topk(emb, qvec, k=10, bits=6).collect()
         ]
         assert rows == sorted(single), qid
+
+
+def test_probe_masks_generalize_beyond_two_flips():
+    from geotools_spark.operators.similarity import probe_masks
+
+    assert len(probe_masks(6, 2)) == 1 + 6 + 15
+    assert len(probe_masks(6, 3)) == 1 + 6 + 15 + 20  # not silently capped
+    assert len(set(probe_masks(8, 3))) == len(probe_masks(8, 3))
