@@ -1452,6 +1452,28 @@ def _q_ann_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivfpq_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF-PQ: a 5-vector query set through probe-pruned cells +
+    PQ ADC + per-query exact re-rank in ONE job — the full
+    billion-vector serving shape, fully replayed in DuckDB."""
+    from geotools_spark.operators.similarity import ivf_pq_ann_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint(
+        eager=True
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_pq_ann_join(
+        qs, emb, k=10, nlist=8, nprobe=4, m=8, ksub=32, rerank=8
+    )
+    return out.select(
+        "query_id", "vec_id", "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ combined (the billion-vector serving shape): IVF probes
     prune the scan to 4 of 8 cells, PQ ADC scores the survivors from
@@ -1617,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": _q_ann_pq,  # derivational PQ replay
         "ann_ivfpq": _q_ann_ivfpq,  # IVF probes + PQ ADC + exact re-rank
         "ann_lsh_join": _q_ann_lsh_join,  # batch query-set bucket join
+        "ann_ivfpq_join": _q_ann_ivfpq_join,  # batch IVF-PQ serving shape
     }
 
 
@@ -3281,6 +3304,91 @@ def oracle_sql() -> dict[str, str]:
                            AS INTEGER) AS rank
                FROM scored)
     SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 20
+    """
+
+    # ann_ivfpq_join: the batch serving shape — every CTE of
+    # ann_ivfpq gains a query dimension (probe rank, ADC join, and
+    # both rank windows PARTITION BY query_id instead of LIMIT).
+    _bq_parts = []
+    for s in range(8):
+        lo, hi = s * 8 + 1, s * 8 + 9
+        te = "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+        tq = "(CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+        _bq_parts.append(f"""
+    bd{s} AS (SELECT e.vec_id, c.cidx,
+                     list_sum([{te} * {te} FOR i IN range({lo}, {hi})]) AS dd
+              FROM embeddings e CROSS JOIN pqcents c),
+    bcode{s} AS (SELECT vec_id, cidx AS code FROM (
+        SELECT vec_id, cidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, cidx) AS rn
+        FROM bd{s}) WHERE rn = 1),
+    bqd{s} AS (SELECT q.query_id, c.cidx,
+                      list_sum([{tq} * {tq} FOR i IN range({lo}, {hi})]) AS dd
+               FROM pqcents c CROSS JOIN qs q)""")
+    _bq_adc = " + ".join(f"a{s}.dd" for s in range(8))
+    _bq_joins = " ".join(
+        f"JOIN bcode{s} c{s} ON c{s}.vec_id = p.vec_id "
+        f"JOIN bqd{s} a{s} ON a{s}.query_id = p.query_id "
+        f"AND a{s}.cidx = c{s}.code"
+        for s in range(8)
+    )
+    sqls["ann_ivfpq_join"] = f"""
+    WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 5),
+    cents0 AS (SELECT vec_id, embedding,
+                      (vec_id * 104729 + 1299709) % 999983 AS ok
+               FROM embeddings ORDER BY ok, vec_id LIMIT 8),
+    cents AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY ok, vec_id) - 1
+                          AS INTEGER) AS cidx,
+                     embedding AS cv
+              FROM cents0),
+    dists AS (SELECT e.vec_id, c.cidx, {_sqd('e.embedding', 'c.cv')} AS dd
+              FROM embeddings e CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, cidx,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY dd, cidx) AS rn
+                 FROM dists),
+    cells AS (SELECT vec_id, cidx AS cell FROM assigned WHERE rn = 1),
+    qdc AS (SELECT q.query_id, c.cidx,
+                   {_sqd('q.qv', 'c.cv')} AS dd
+            FROM cents c CROSS JOIN qs q),
+    probes AS (SELECT query_id, cidx FROM (
+        SELECT query_id, cidx,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dd, cidx) AS rn
+        FROM qdc) WHERE rn <= 4),
+    pairs AS (SELECT p.query_id, e.vec_id
+              FROM probes p
+              JOIN cells ON cells.cell = p.cidx
+              JOIN embeddings e ON e.vec_id = cells.vec_id),
+    pqcents0 AS (SELECT vec_id, embedding,
+                        (vec_id * 104729 + 1299709) % 999983 AS ok
+                 FROM embeddings ORDER BY ok, vec_id LIMIT 32),
+    pqcents AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY ok, vec_id) - 1
+                            AS INTEGER) AS cidx,
+                       embedding AS cv
+                FROM pqcents0),{",".join(_bq_parts)},
+    adc AS (SELECT p.query_id, p.vec_id, ROUND({_bq_adc}, 6) AS adc
+            FROM pairs p {_bq_joins}),
+    cand AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc, vec_id) AS rn
+        FROM adc) WHERE rn <= 80),
+    pairsv AS (SELECT c.query_id, c.vec_id, q.qv, e.embedding
+               FROM cand c
+               JOIN embeddings e USING (vec_id)
+               JOIN qs q ON q.query_id = c.query_id),
+    scored AS (SELECT query_id, vec_id,
+                      ROUND({_dq} / ({_ne} * {_nq}), 6) AS cosine
+               FROM pairsv),
+    ranked AS (SELECT query_id, vec_id, cosine,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY cosine DESC, vec_id)
+                           AS INTEGER) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
     """
 
     sqls["rastfit_idw"] = f"""

@@ -597,3 +597,121 @@ def lsh_ann_join(
     return scored.withColumn(
         "rank", F.row_number().over(w)
     ).filter(F.col("rank") <= k)
+
+
+def probe_cells_expr(vec_col: str, centers: list[list[float]], nprobe: int):
+    """Per-ROW nprobe closest centroid indices as an array column —
+    the query-set analogue of the driver-side ``_probe_cells``. The
+    (distance, index) structs sort lexicographically, giving the same
+    first-min tie-break."""
+    vc = F.col(vec_col).cast("array<double>")
+    dists = []
+    for c in centers:
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(vc, carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    pairs = F.array(*[
+        F.struct(d.alias("d"), F.lit(i).cast("int").alias("i"))
+        for i, d in enumerate(dists)
+    ])
+    return F.slice(
+        F.transform(F.array_sort(pairs), lambda s: s.getField("i")),
+        1,
+        nprobe,
+    )
+
+
+def ivf_pq_ann_join(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    *,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 4,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int | None = None,
+) -> DataFrame:
+    """Batch IVF-PQ: top-k for a whole QUERY SET in one job — the
+    full billion-vector serving shape (ann_ivfpq is its single-query
+    twin, lsh_ann_join its LSH sibling).
+
+    Corpus side carries (cell, m-byte codes) — index-time artifacts.
+    Queries explode to their nprobe cells and equi-join on cell id (a
+    partition-prunable scan when the corpus is written bucketed by
+    cell); ADC scores each (query, vector) pair from the codes via m
+    sub-distance folds; a per-query rank window keeps the rerank*k
+    best; exact cosine re-ranks those. Windows partition by query id —
+    no single-partition stage."""
+    nsamp = max(nlist, ksub)
+    full = sample_centroids(
+        embeddings, nlist=nsamp, id_col=id_col, vec_col=vec_col,
+        **({} if seed is None else {"seed": seed}),
+    )
+    centers = full[:nlist]
+    dim = len(full[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = [
+        [c[s_ * sub : (s_ + 1) * sub] for c in full[:ksub]]
+        for s_ in range(m)
+    ]
+    enc = embeddings.select(id_col, vec_col).withColumn(
+        "_cell", assign_cell_expr(vec_col, centers)
+    ).withColumn("_codes", pq_encode_expr(vec_col, books))
+    q_exp = queries.select(q_id_col, q_vec_col).withColumn(
+        "_cell",
+        F.explode(probe_cells_expr(q_vec_col, centers, nprobe)),
+    )
+    j = q_exp.join(enc, "_cell").drop("_cell")
+    # ADC for a query SET: the tables depend on the query vector, so
+    # each subspace term is a fold of (query sub-vector - chosen
+    # sub-centroid)^2 with the centroid picked by the stored code
+    qv = F.col(q_vec_col).cast("array<double>")
+    books_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(v)) for v in c]) for c in book
+        ])
+        for book in books
+    ])
+    adc = None
+    for s_ in range(m):
+        qslice = F.slice(qv, s_ * sub + 1, sub)
+        cvec = F.element_at(
+            F.element_at(books_lit, s_ + 1),
+            F.col("_codes").getItem(s_) + 1,
+        )
+        term = F.aggregate(
+            F.zip_with(qslice, cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        adc = term if adc is None else adc + term  # left-assoc chain
+    wadc = Window.partitionBy(q_id_col).orderBy("_adc", F.col(id_col))
+    cand = (
+        j.select(q_id_col, q_vec_col, id_col, vec_col,
+                 F.round(adc, 6).alias("_adc"))
+        .withColumn("_arank", F.row_number().over(wadc))
+        .filter(F.col("_arank") <= int(rerank * k))
+        .drop("_adc", "_arank")
+    )
+    cos = _dot_cols_expr(F.col(q_vec_col), F.col(vec_col)) / (
+        F.sqrt(_norm2_expr(F.col(vec_col)))
+        * F.sqrt(_norm2_expr(F.col(q_vec_col)))
+    )
+    scored = cand.select(q_id_col, id_col, F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return scored.withColumn(
+        "rank", F.row_number().over(w)
+    ).filter(F.col("rank") <= k)

@@ -287,3 +287,43 @@ def test_probe_masks_generalize_beyond_two_flips():
     assert len(probe_masks(6, 2)) == 1 + 6 + 15
     assert len(probe_masks(6, 3)) == 1 + 6 + 15 + 20  # not silently capped
     assert len(set(probe_masks(8, 3))) == len(probe_masks(8, 3))
+
+
+def test_ivf_pq_ann_join_batch(spark):
+    """Batch IVF-PQ join: per-query recall vs exact, self at rank 1,
+    rerun-deterministic."""
+    import pyspark.sql.functions as F
+
+    from geotools_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_ann_join,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").localCheckpoint(
+        eager=True
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_pq_ann_join(
+        qs, emb, k=10, nlist=8, nprobe=4, m=8, ksub=32, rerank=8
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert rows[0] == (1, qid)
+        qvec = [
+            float(v)
+            for v in emb.filter(F.col("vec_id") == qid).first().embedding
+        ]
+        true = {r.vec_id for r in cosine_topk(emb, qvec, k=10).collect()}
+        recall = len(true & {v for _, v in rows}) / 10
+        assert recall >= 0.5, (qid, recall)  # 0.7-0.9 measured
+    out2 = ivf_pq_ann_join(
+        qs, emb, k=10, nlist=8, nprobe=4, m=8, ksub=32, rerank=8
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
