@@ -90,6 +90,71 @@ def bucket_expr(vec_col, planes: np.ndarray):
 QUANT_SEED = 1299709
 
 
+# ---------------------------------------------------------------- Arrow
+# NumPy kernels for the PQ/IVF hot path. The Catalyst higher-order
+# functions (aggregate / zip_with / transform) these replace are
+# CodegenFallback — interpreted per element — and, worse, the nested
+# codebook literals make ~10^5-character plans whose analysis/codegen
+# costs seconds PER QUERY before a single row moves (measured r6:
+# encode-only noop 2.7 s at 2k rows, unchanged when spread over 32
+# cores — i.e. all driver-side). The kernels below reproduce the exact
+# IEEE arithmetic: every distance is a LEFT-TO-RIGHT sequential fold
+# over the dimension axis (the loop is over dims, vectorized over
+# rows), argmin is first-min, and the ADC sum is the same left-assoc
+# chain — bit-identical to the expression path and to the DuckDB
+# oracle replay (parity pinned by tests/test_oracle_parity.py).
+
+def _np_vectors(col) -> np.ndarray:
+    """pyarrow (Chunked)ListArray of floats -> (n, dim) float64."""
+    import pyarrow as pa
+
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = a.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(a)
+    if n == 0:
+        return flat.reshape(0, 0)
+    dim = len(flat) // n
+    return flat.reshape(n, dim)
+
+
+def _np_left_fold_sq(X: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Per-row squared distance as the sequential dim-axis fold:
+    ((0 + d0^2) + d1^2) + ... — the exact operation order of the
+    F.aggregate expression and the oracle's list_sum comprehension."""
+    acc = np.zeros(X.shape[0], dtype=np.float64)
+    for j in range(X.shape[1]):
+        d = X[:, j] - c[j]
+        acc = acc + d * d
+    return acc
+
+
+def _np_assign(V: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """argmin over per-centroid fold distances, first-min tie-break."""
+    D = np.column_stack([_np_left_fold_sq(V, c) for c in centers])
+    return D.argmin(axis=1).astype(np.int32)
+
+
+def _np_codes(V: np.ndarray, books: list[np.ndarray]) -> np.ndarray:
+    """(n, m) int32 PQ codes — per-subspace first-min argmin."""
+    m = len(books)
+    sub = books[0].shape[1]
+    cols = []
+    for s in range(m):
+        Vs = V[:, s * sub : (s + 1) * sub]
+        D = np.column_stack([_np_left_fold_sq(Vs, c) for c in books[s]])
+        cols.append(D.argmin(axis=1).astype(np.int32))
+    return np.column_stack(cols)
+
+
+def _np_adc_codes(codes: np.ndarray, tables: np.ndarray) -> np.ndarray:
+    """ADC = t0[c0] + t1[c1] + ... (left-assoc, no 0-seed — matches the
+    expression chain ``adc = term if adc is None else adc + term``)."""
+    acc = tables[0][codes[:, 0]]
+    for s in range(1, tables.shape[0]):
+        acc = acc + tables[s][codes[:, s]]
+    return acc
+
+
 def _seq_sq_dist(a, b) -> float:
     """Squared euclidean distance as a LEFT-TO-RIGHT fold in pure
     Python doubles — the same IEEE operation chain the Spark
@@ -473,17 +538,28 @@ def pq_ann_topk(
         embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
         **({} if seed is None else {"seed": seed}),
     )
-    tables = pq_adc_tables(books, query_vec)
-    enc = embeddings.select(
-        id_col, vec_col, pq_encode_expr(vec_col, books).alias("_codes")
+    tables = np.asarray(pq_adc_tables(books, query_vec), dtype=np.float64)
+    B = [np.asarray(book, dtype=np.float64) for book in books]
+    in_df = embeddings.select(id_col, vec_col)
+    vec_t = dict(zip(in_df.schema.names, in_df.schema.fields))[vec_col]
+    out_schema = (
+        f"{id_col} {in_df.schema[id_col].dataType.simpleString()}, "
+        f"{vec_col} {vec_t.dataType.simpleString()}, _adc double"
     )
-    adc = None
-    for s in range(m):
-        tarr = F.array(*[F.lit(float(t)) for t in tables[s]])
-        term = F.element_at(tarr, F.col("_codes").getItem(s) + 1)
-        adc = term if adc is None else adc + term  # left-assoc chain
+
+    def _enc(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            V = _np_vectors(b.column(1))
+            adc = _np_adc_codes(_np_codes(V, B), tables)
+            yield b.append_column("_adc", pa.array(adc, type=pa.float64()))
+
+    enc = in_df.mapInArrow(_enc, out_schema)
     cand = (
-        enc.select(id_col, vec_col, F.round(adc, 6).alias("_adc"))
+        enc.select(id_col, vec_col, F.round("_adc", 6).alias("_adc"))
         .orderBy("_adc", id_col)
         .limit(int(rerank * k))
         .drop("_adc")
@@ -532,13 +608,43 @@ def ivf_pq_ann_topk(
         [c[s_ * sub : (s_ + 1) * sub] for c in full[:ksub]]
         for s_ in range(m)
     ]
-    cand = embeddings.withColumn(
-        "_cell", assign_cell_expr(vec_col, centers)
-    ).filter(F.col("_cell").isin([int(p) for p in probes])).drop("_cell")
-    return pq_ann_topk(
-        cand, query_vec, k=k, m=m, ksub=ksub, rerank=rerank,
-        id_col=id_col, vec_col=vec_col, codebooks=books,
+    # ONE Arrow pass does coarse assignment, probe filter, PQ encode
+    # and ADC scoring (see the _np_* kernel notes: bit-identical to the
+    # expression path, without its ~10^5-char plan)
+    tables = np.asarray(pq_adc_tables(books, query_vec), dtype=np.float64)
+    B = [np.asarray(book, dtype=np.float64) for book in books]
+    C = np.asarray(centers, dtype=np.float64)
+    probe_set = np.asarray(sorted(int(p) for p in probes), dtype=np.int64)
+    in_df = embeddings.select(id_col, vec_col)
+    out_schema = (
+        f"{id_col} {in_df.schema[id_col].dataType.simpleString()}, "
+        f"{vec_col} {in_df.schema[vec_col].dataType.simpleString()}, "
+        "_adc double"
     )
+
+    def _enc(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            V = _np_vectors(b.column(1))
+            keep = np.flatnonzero(np.isin(_np_assign(V, C), probe_set))
+            if len(keep) == 0:
+                continue
+            adc = _np_adc_codes(_np_codes(V[keep], B), tables)
+            yield b.take(pa.array(keep)).append_column(
+                "_adc", pa.array(adc, type=pa.float64())
+            )
+
+    enc = in_df.mapInArrow(_enc, out_schema)
+    cand = (
+        enc.select(id_col, vec_col, F.round("_adc", 6).alias("_adc"))
+        .orderBy("_adc", id_col)
+        .limit(int(rerank * k))
+        .drop("_adc")
+    )
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def lsh_ann_join(
@@ -667,41 +773,80 @@ def ivf_pq_ann_join(
         [c[s_ * sub : (s_ + 1) * sub] for c in full[:ksub]]
         for s_ in range(m)
     ]
-    enc = embeddings.select(id_col, vec_col).withColumn(
-        "_cell", assign_cell_expr(vec_col, centers)
-    ).withColumn("_codes", pq_encode_expr(vec_col, books))
+    # Corpus pass in Arrow: coarse cell + PQ codes in one opaque node
+    # (see the _np_* kernel notes — bit-identical to the expression
+    # path, none of its planning cost)
+    B = [np.asarray(book, dtype=np.float64) for book in books]
+    C = np.asarray(centers, dtype=np.float64)
+    e_in = embeddings.select(id_col, vec_col)
+    enc_schema = (
+        f"{id_col} {e_in.schema[id_col].dataType.simpleString()}, "
+        f"{vec_col} {e_in.schema[vec_col].dataType.simpleString()}, "
+        "_cell int, _codes array<int>"
+    )
+
+    def _enc(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            V = _np_vectors(b.column(1))
+            cells = _np_assign(V, C)
+            codes = _np_codes(V, B)
+            yield b.append_column(
+                "_cell", pa.array(cells, type=pa.int32())
+            ).append_column(
+                "_codes",
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), type=pa.int32()), m
+                ).cast(pa.list_(pa.int32())),
+            )
+
+    enc = e_in.mapInArrow(_enc, enc_schema)
     q_exp = queries.select(q_id_col, q_vec_col).withColumn(
         "_cell",
         F.explode(probe_cells_expr(q_vec_col, centers, nprobe)),
     )
     j = q_exp.join(enc, "_cell").drop("_cell")
     # ADC for a query SET: the tables depend on the query vector, so
-    # each subspace term is a fold of (query sub-vector - chosen
-    # sub-centroid)^2 with the centroid picked by the stored code
-    qv = F.col(q_vec_col).cast("array<double>")
-    books_lit = F.array(*[
-        F.array(*[
-            F.array(*[F.lit(float(v)) for v in c]) for c in book
-        ])
-        for book in books
-    ])
-    adc = None
-    for s_ in range(m):
-        qslice = F.slice(qv, s_ * sub + 1, sub)
-        cvec = F.element_at(
-            F.element_at(books_lit, s_ + 1),
-            F.col("_codes").getItem(s_) + 1,
-        )
-        term = F.aggregate(
-            F.zip_with(qslice, cvec, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        adc = term if adc is None else adc + term  # left-assoc chain
+    # each subspace term is the fold of (query sub-vector - chosen
+    # sub-centroid)^2 with the centroid picked by the stored code —
+    # second Arrow pass over the (query, candidate) join output
+    j_in = j.select(q_id_col, q_vec_col, id_col, vec_col, "_codes")
+    adc_schema = (
+        f"{q_id_col} {j_in.schema[q_id_col].dataType.simpleString()}, "
+        f"{q_vec_col} {j_in.schema[q_vec_col].dataType.simpleString()}, "
+        f"{id_col} {j_in.schema[id_col].dataType.simpleString()}, "
+        f"{vec_col} {j_in.schema[vec_col].dataType.simpleString()}, "
+        "_adc double"
+    )
+
+    def _adc(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            Q = _np_vectors(b.column(1))
+            codes = _np_vectors(b.column(4)).astype(np.int64)
+            total = None
+            for s_ in range(m):
+                Cs = B[s_][codes[:, s_]]
+                acc = np.zeros(len(Q), dtype=np.float64)
+                for d_ in range(sub):
+                    dd = Q[:, s_ * sub + d_] - Cs[:, d_]
+                    acc = acc + dd * dd
+                total = acc if total is None else total + acc
+            yield b.drop_columns(["_codes"]).append_column(
+                "_adc", pa.array(total, type=pa.float64())
+            )
+
+    scored_adc = j_in.mapInArrow(_adc, adc_schema)
     wadc = Window.partitionBy(q_id_col).orderBy("_adc", F.col(id_col))
     cand = (
-        j.select(q_id_col, q_vec_col, id_col, vec_col,
-                 F.round(adc, 6).alias("_adc"))
+        scored_adc.select(q_id_col, q_vec_col, id_col, vec_col,
+                          F.round("_adc", 6).alias("_adc"))
         .withColumn("_arank", F.row_number().over(wadc))
         .filter(F.col("_arank") <= int(rerank * k))
         .drop("_adc", "_arank")
