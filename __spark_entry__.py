@@ -649,9 +649,20 @@ def _q_ring_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rastfit_inputs(spark: SparkSession, sf_dir: str):
+    # ONE aggregation pass and ONE pinned checkpoint feed both rasters:
+    # avg and max are independent aggregates of the same groupBy, so
+    # splitting them into two scans (the old shape) paid a second full
+    # scan + shuffle per rastfit query for identical values. Callers
+    # pass pinned=True to rastfit so it does not re-checkpoint the two
+    # cheap projections.
     cells = derive.cells_df(spark, sf_dir)
-    base = cells.groupBy("cell_col", "cell_row").agg(F.avg("z").alias("value"))
-    adj = cells.groupBy("cell_col", "cell_row").agg(F.max("z").alias("value"))
+    grid = (
+        cells.groupBy("cell_col", "cell_row")
+        .agg(F.avg("z").alias("_base"), F.max("z").alias("_adj"))
+        .localCheckpoint(eager=True)
+    )
+    base = grid.select("cell_col", "cell_row", F.col("_base").alias("value"))
+    adj = grid.select("cell_col", "cell_row", F.col("_adj").alias("value"))
     return base, adj
 
 
@@ -663,7 +674,7 @@ def _q_rastfit_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.raster import rastfit
 
     base, adj = _rastfit_inputs(spark, sf_dir)
-    out = rastfit(base, adj, method="shift", n_samples=200)
+    out = rastfit(base, adj, method="shift", n_samples=200, pinned=True)
     return out.select("cell_col", "cell_row", F.round("fit", 6).alias("fit"))
 
 
@@ -678,7 +689,7 @@ def _q_rastfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.raster import rastfit
 
     base, adj = _rastfit_inputs(spark, sf_dir)
-    out = rastfit(base, adj, method="natural_neighbour", n_samples=200)
+    out = rastfit(base, adj, method="natural_neighbour", n_samples=200, pinned=True)
     return out.filter(F.col("fit").isNotNull()).select(
         "cell_col", "cell_row", F.round("fit", 6).alias("fit")
     )
@@ -693,7 +704,7 @@ def _q_rastfit_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.raster import rastfit
 
     base, adj = _rastfit_inputs(spark, sf_dir)
-    out = rastfit(base, adj, method="idw_all", n_samples=200, power=2.0)
+    out = rastfit(base, adj, method="idw_all", n_samples=200, power=2.0, pinned=True)
     return out.select("cell_col", "cell_row", F.round("fit", 6).alias("fit"))
 
 

@@ -673,6 +673,7 @@ def rastfit(
     n_samples: int = 200,
     value: str = "value",
     seed: int = 1299709,
+    pinned: bool = False,
     **interp_params,
 ) -> DataFrame:
     """rastfit (src/rastfit.cpp:148-199): produce the adjustment raster
@@ -694,13 +695,18 @@ def rastfit(
 
     # pin both rasters once: the sample collect, the query-id pinning
     # and the final join each trigger a job, and a derived raster
-    # pipeline would be recomputed for every one of them
+    # pipeline would be recomputed for every one of them. ``pinned``
+    # callers promise base/adj are already cheap to recompute (e.g.
+    # projections of one checkpointed grid) — skip the two jobs.
     b = base.filter(F.col(value).isNotNull()).select(
         "cell_col", "cell_row", F.col(value).alias("_b")
-    ).localCheckpoint(eager=True)
+    )
     a = adj.filter(F.col(value).isNotNull()).select(
         "cell_col", "cell_row", F.col(value).alias("_a")
-    ).localCheckpoint(eager=True)
+    )
+    if not pinned:
+        b = b.localCheckpoint(eager=True)
+        a = a.localCheckpoint(eager=True)
     overlap = a.join(b, ["cell_col", "cell_row"]).select(
         "cell_col",
         "cell_row",
