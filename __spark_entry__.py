@@ -114,12 +114,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_grid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = derive.cells_df(spark, sf_dir)
+    cells = derive.cells_df(spark, sf_dir, spread=False)
     return _select_grid(gridstats.cell_stats(cells, stats=GRID_STATS, res=1.0))
 
 
 def _q_grid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = derive.cells_df(spark, sf_dir)
+    cells = derive.cells_df(spark, sf_dir, spread=False)
     cells = gridstats.point_filters(cells, cls_set=(1, 2, 3), scan_angle_max=15)
     out = gridstats.cell_stats(cells, stats=("count", "mean", "min", "max"), res=1.0)
     return out.select(
@@ -133,7 +133,7 @@ def _q_grid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = derive.cells_df(spark, sf_dir)
+    cells = derive.cells_df(spark, sf_dir, spread=False)
     return gridstats.cell_stats(
         cells, stats=("count", "quantiles"), res=1.0, quantile_num=4
     ).select(
@@ -148,7 +148,7 @@ def _q_grid_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/A11: per-cell skewness (sample-stddev Fisher-Pearson) and
     excess kurtosis, n>=3 cells only (degenerate cells NULL on both
     sides of the oracle)."""
-    cells = derive.cells_df(spark, sf_dir)
+    cells = derive.cells_df(spark, sf_dir, spread=False)
     out = gridstats.cell_stats(cells, stats=("count", "skew", "kurtosis"), res=1.0)
     n = F.col("count")
     return out.select(
@@ -162,7 +162,7 @@ def _q_grid_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: per-cell quantile band filter then re-aggregate."""
-    cells = derive.cells_df(spark, sf_dir)
+    cells = derive.cells_df(spark, sf_dir, spread=False)
     kept = gridstats.quantile_band_filter(cells, quantiles=4, q_from=1, q_to=3)
     out = gridstats.cell_stats(kept, stats=("count", "mean", "min", "max"), res=1.0)
     return out.select(
@@ -179,7 +179,7 @@ def _q_kurtosis_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 quirk: kurtosis over cls<=3 points with the fourth-moment
     sum divided by the UNFILTERED cell count (include/cellstats.hpp:
     356), one conditional-aggregation pass."""
-    cells = derive.cells_df(spark, sf_dir)
+    cells = derive.cells_df(spark, sf_dir, spread=False)
     out = gridstats.kurtosis_prefilter(cells, F.col("cls") <= 3)
     return out.select(
         "cell_col",
@@ -196,7 +196,7 @@ def _q_grid_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-phase result, so it shares the plain-SQL oracle."""
     from geotools_spark.operators.salting import salted_cell_stats
 
-    cells = derive.cells_df(spark, sf_dir)
+    cells = derive.cells_df(spark, sf_dir, spread=False)
     out = salted_cell_stats(
         cells,
         stats=("count", "min", "max", "sum", "mean", "median"),
@@ -224,7 +224,7 @@ def _q_grid_skew_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.salting import exact_quantiles_by_value
 
     hot = F.col("pid") % 4 == 0
-    cells = derive.cells_df(spark, sf_dir).withColumns(
+    cells = derive.cells_df(spark, sf_dir, spread=False).withColumns(
         {
             "cell_col": F.when(hot, F.lit(7).cast("bigint")).otherwise(F.col("cell_col")),
             "cell_row": F.when(hot, F.lit(7).cast("bigint")).otherwise(F.col("cell_row")),
@@ -249,7 +249,7 @@ def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integer ops."""
     from geotools_spark.functions.cells import morton_key, morton_parent
 
-    cells = derive.cells_df(spark, sf_dir)
+    cells = derive.cells_df(spark, sf_dir, spread=False)
     keyed = cells.withColumn(
         "zkey", morton_key(F.col("cell_col"), F.col("cell_row"))
     ).withColumn("parent", morton_parent(F.col("zkey"), 2))
@@ -266,7 +266,7 @@ def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_gap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = derive.cells_df(spark, sf_dir)
+    cells = derive.cells_df(spark, sf_dir, spread=False)
     out = gridstats.gap_fraction(cells)
     return out.select(
         "cell_col",
@@ -311,7 +311,7 @@ def _polygons_df(spark: SparkSession) -> DataFrame:
 def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.pip import pip_join
 
-    pts = derive.points_df(spark, sf_dir)
+    pts = derive.points_df(spark, sf_dir, spread=False)
     out = pip_join(pts, _polygons_df(spark), res=8.0, how="inner")
     return out.select("pid", "poly_id", "z")
 
@@ -319,7 +319,7 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_pip_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.pip import pip_join
 
-    pts = derive.points_df(spark, sf_dir)
+    pts = derive.points_df(spark, sf_dir, spread=False)
     out = pip_join(pts, _polygons_df(spark), res=8.0, how="left_semi")
     return out.select("pid", "z", "cls")
 
@@ -327,7 +327,7 @@ def _q_pip_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_radius_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.neighbors import radius_cell_join
 
-    pts = derive.points_df(spark, sf_dir)
+    pts = derive.points_df(spark, sf_dir, spread=False)
     rj = radius_cell_join(pts, radius=1.5, res=1.0)
     out = gridstats.cell_stats(rj, stats=("count", "mean", "max"), res=1.0)
     return out.select(
@@ -342,7 +342,7 @@ def _q_radius_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_knn_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.neighbors import idw, knn_join
 
-    pts = derive.points_df(spark, sf_dir)
+    pts = derive.points_df(spark, sf_dir, spread=False)
     q = pts.filter(F.col("pid") % 97 == 0).select(
         F.col("pid").alias("qid"), F.col("x").alias("qx"), F.col("y").alias("qy")
     )
@@ -360,7 +360,7 @@ def _q_knn_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.zonal import zonal_stats, zone_lookup
 
-    pts = derive.cells_df(spark, sf_dir)
+    pts = derive.cells_df(spark, sf_dir, spread=False)
     zones = (
         spark.range(64 * 64)
         .select(
@@ -392,7 +392,7 @@ def _q_bilinear_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: bilinear raster sampling at points — four corner equi-joins
     against an analytic raster table, closed-form blend (the las2csrs
     shift-grid sample, src/las2csrs.cpp:36-40,142-169)."""
-    pts = derive.points_df(spark, sf_dir)
+    pts = derive.points_df(spark, sf_dir, spread=False)
     raster = (
         spark.range(64 * 64)
         .select(
@@ -568,7 +568,7 @@ def _mean_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64x64 long-form raster derived from the points: per-cell mean z.
     Cells with no points are absent (= nodata), exactly reproducible in
     the DuckDB oracle."""
-    cells = derive.cells_df(spark, sf_dir)
+    cells = derive.cells_df(spark, sf_dir, spread=False)
     return cells.groupBy("cell_col", "cell_row").agg(F.avg("z").alias("value"))
 
 
@@ -655,7 +655,7 @@ def _rastfit_inputs(spark: SparkSession, sf_dir: str):
     # scan + shuffle per rastfit query for identical values. Callers
     # pass pinned=True to rastfit so it does not re-checkpoint the two
     # cheap projections.
-    cells = derive.cells_df(spark, sf_dir)
+    cells = derive.cells_df(spark, sf_dir, spread=False)
     grid = (
         cells.groupBy("cell_col", "cell_row")
         .agg(F.avg("z").alias("_base"), F.max("z").alias("_adj"))
@@ -716,7 +716,7 @@ def _q_coregister(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the root), so the oracle is the plain pair means."""
     from geotools_spark.operators.coregister import coregister_shifts
 
-    cells = derive.cells_df(spark, sf_dir)
+    cells = derive.cells_df(spark, sf_dir, spread=False)
     # pin the 4k-row aggregate: the 3-way band union feeds a self-join,
     # so the unpinned lineage would rescan + reaggregate the points six
     # times (same localCheckpoint pattern as spectral/media_frames)
@@ -750,7 +750,7 @@ def _q_coregister(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_raster_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.raster import raster_pair_diff_stats
 
-    cells = derive.cells_df(spark, sf_dir)
+    cells = derive.cells_df(spark, sf_dir, spread=False)
     # one scan + one pinned 4k-row aggregate for both bands (was two
     # independent full aggregations)
     g = cells.groupBy("cell_col", "cell_row").agg(
@@ -794,7 +794,7 @@ def _q_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.raster import spectral_pivot
 
-    cells = derive.cells_df(spark, sf_dir)
+    cells = derive.cells_df(spark, sf_dir, spread=False)
     # pin the 4k-row per-cell aggregate: the three band projections
     # below would otherwise each rescan + reaggregate the point table
     agg = cells.groupBy("cell_col", "cell_row").agg(
@@ -927,7 +927,7 @@ def _q_las_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_terrain.py."""
     from geotools_spark.operators.terrain import validate_stations
 
-    pts = derive.points_df(spark, sf_dir).select("pid", "x", "y", "z", "cls")
+    pts = derive.points_df(spark, sf_dir, spread=False).select("pid", "x", "y", "z", "cls")
     stations = pts.filter(F.col("pid") % 449 == 0).select(
         F.col("pid").alias("qid"),
         F.col("x").alias("qx"),
@@ -958,7 +958,7 @@ def _q_natural_neighbour(spark: SparkSession, sf_dir: str) -> DataFrame:
     Monte-Carlo Sibson oracle are pinned in tests/test_interpolate.py."""
     from geotools_spark.operators.interpolate import interpolate
 
-    samples = derive.points_df(spark, sf_dir).filter(F.col("pid") % 997 == 0).select(
+    samples = derive.points_df(spark, sf_dir, spread=False).filter(F.col("pid") % 997 == 0).select(
         F.col("pid").alias("sid"), "x", "y", "z"
     )
     queries = _query_grid(spark).withColumn(
@@ -980,7 +980,7 @@ def _q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _mean_raster(spark, sf_dir)
     # overlay: the max-z raster restricted to a sub-window (so it has
     # real data edges to feather)
-    cells = derive.cells_df(spark, sf_dir)
+    cells = derive.cells_df(spark, sf_dir, spread=False)
     overlay = (
         cells.filter(
             (F.col("cell_col") >= 16) & (F.col("cell_col") < 48)
@@ -1025,7 +1025,7 @@ def _q_csrs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_class_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.reclass import class_remap
 
-    pts = derive.points_df(spark, sf_dir)
+    pts = derive.points_df(spark, sf_dir, spread=False)
     out = class_remap(pts, {0: 2, 7: 1})
     return out.groupBy("cls").agg(F.count(F.lit(1)).alias("cnt")).select(
         F.col("cls").cast("int").alias("cls"), "cnt"
@@ -1041,7 +1041,7 @@ def _q_flight_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval list; no single-partition Exchange over the time stream."""
     from geotools_spark.operators.reclass import assign_flight_line, flight_segments
 
-    pts = derive.points_df(spark, sf_dir)
+    pts = derive.points_df(spark, sf_dir, spread=False)
     segs = flight_segments(pts.filter(F.col("cls") == 0), gap=25.0)
     out = assign_flight_line(pts, segs)
     return out.groupBy("line_id").agg(
@@ -1054,7 +1054,7 @@ def _q_flight_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_las_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.merge import header_stats, merge_points
 
-    pts = derive.points_df(spark, sf_dir)
+    pts = derive.points_df(spark, sf_dir, spread=False)
     a = pts.filter(F.col("pid") % 2 == 0)
     b = pts.filter(F.col("pid") % 2 == 1)
     merged = merge_points([a, b], bounds=(8.0, 8.0, 56.0, 56.0))
@@ -1067,7 +1067,7 @@ def _q_direction_flips(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_reclass.py)."""
     from geotools_spark.operators.reclass import direction_flip_reclass
 
-    pts = derive.points_df(spark, sf_dir).withColumn(
+    pts = derive.points_df(spark, sf_dir, spread=False).withColumn(
         "line_id", (F.col("pid") % 8).cast("int")
     )
     # densify the synthetic time axis so inter-point gaps stay below the
@@ -1085,7 +1085,7 @@ def _q_direction_flips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small deterministic sample side for interpolator queries."""
-    return derive.points_df(spark, sf_dir).filter(F.col("pid") % 211 == 0)
+    return derive.points_df(spark, sf_dir, spread=False).filter(F.col("pid") % 211 == 0)
 
 
 def _query_grid(spark: SparkSession) -> DataFrame:
@@ -1108,7 +1108,12 @@ def _q_plane_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.terrain import variogram_cloud
 
-    out = variogram_cloud(_samples(spark, sf_dir))
+    from geotools_spark.operators.partitioning import spread
+
+    # spread the SMALL filtered sample side before the all-pairs
+    # fan-out (the old shape round-robined the full 600k-row table to
+    # filter out 0.5% of it)
+    out = variogram_cloud(spread(_samples(spark, sf_dir)))
     return out.select(F.round("dist", 6).alias("dist"), F.round("gamma", 6).alias("gamma"))
 
 
@@ -1122,7 +1127,7 @@ def _q_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for sparse control points, src/interp/Interpolators.cpp:140-206)
     # pid order pins the sample-matrix row order so the oracle's
     # pure-numpy replay factors the identical system (VERDICT r04 #3)
-    samples = derive.points_df(spark, sf_dir).filter(
+    samples = derive.points_df(spark, sf_dir, spread=False).filter(
         F.col("pid") % 997 == 0
     ).orderBy("pid")
     out = simple_kriging(
@@ -1209,7 +1214,7 @@ def _q_normalize_heights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # column-prune before the halo explode: everything selected here
     # rides the shuffle AND the Arrow hop into the per-cell TIN worker
-    pts = derive.points_df(spark, sf_dir).select("pid", "x", "y", "z", "cls")
+    pts = derive.points_df(spark, sf_dir, spread=False).select("pid", "x", "y", "z", "cls")
     # res sized so cell+halo groups stay small: the numpy Bowyer-Watson
     # is O(n^2)-ish per group, and group count x small-n parallelizes
     out = normalize_heights(pts, res=2.0, rings=1, ground_cls=2)
@@ -1220,7 +1225,7 @@ def _q_rugosity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 ACR rugosity per 8x8 cell; Delaunay — rows-only check."""
     from geotools_spark.operators.terrain import rugosity
 
-    pts = derive.points_df(spark, sf_dir).select(
+    pts = derive.points_df(spark, sf_dir, spread=False).select(
         "x", "y", "z",
         F.floor(F.col("x") / 2.0).alias("cell_col"),
         F.floor(F.col("y") / 2.0).alias("cell_row"),
@@ -1233,7 +1238,7 @@ def _q_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9 lasboundary alpha-shape edges; Delaunay — rows-only check."""
     from geotools_spark.operators.terrain import boundary_edges
 
-    pts = derive.points_df(spark, sf_dir).filter(
+    pts = derive.points_df(spark, sf_dir, spread=False).filter(
         (F.col("x") < 32.0) & (F.col("y") < 32.0) & (F.col("cls") <= 2)
     )
     # tile_cells=16 so even the 16x16-cell sf0.01 fixture splits into

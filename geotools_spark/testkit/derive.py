@@ -43,17 +43,28 @@ CELL_EXPRS = (
 )
 
 
-def points_df(spark, sf_dir: str):
+def points_df(spark, sf_dir: str, *, spread: bool = True):
     """Derived point table on the Spark side. The testdata parquet is a
     single row group (one scan task), so spread it across the cluster
     before the expression derivation — values are unchanged, DuckDB
-    parity unaffected."""
-    from geotools_spark.operators.partitioning import spread
+    parity unaffected.
 
-    return spread(
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    ).selectExpr(*POINT_EXPRS)
+    ``spread=False`` skips the round-robin exchange: queries whose
+    FIRST wide operator is an aggregation/join get their parallelism
+    from that exchange anyway, and the map-side combine then collapses
+    the rows inside the scan task — shuffling all 600k rows first is
+    pure overhead (guide §2.3/§2.4; measured 1.88 -> 1.11 s on
+    grid_stats). Keep the default for pipelines with heavy NARROW
+    pre-shuffle work (Python hops, ring/halo explodes, per-point
+    geometry), which need the scan spread across cores. On multi-split
+    inputs (the 100 TB regime) spread() is a no-op either way."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    if spread:
+        from geotools_spark.operators.partitioning import spread as _spread
+
+        df = _spread(df)
+    return df.selectExpr(*POINT_EXPRS)
 
 
-def cells_df(spark, sf_dir: str):
-    return points_df(spark, sf_dir).selectExpr("*", *CELL_EXPRS)
+def cells_df(spark, sf_dir: str, *, spread: bool = True):
+    return points_df(spark, sf_dir, spread=spread).selectExpr("*", *CELL_EXPRS)
