@@ -24,6 +24,7 @@ fixed-width columns, not variable blobs, so shuffles stay compact.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -33,6 +34,24 @@ from pyspark.sql.window import Window
 # inherit the input's parallelism — measured: the whole MinHash
 # pipeline ran 2-way on 32 cores off a single-split doc table
 from geotools_spark.operators.partitioning import spread as _spread
+
+
+def _pin_small(df: DataFrame, cap_bytes: int = 2 << 30) -> DataFrame:
+    """Pin a derived table consumed by BOTH sides of a self-join.
+
+    Spark plans aliased self-join branches as two independent subtrees
+    (no cross-branch CSE), so an unpinned signature/shingle table is
+    computed once per side. When Catalyst's size estimate says the
+    SOURCE is small, a localCheckpoint turns the second computation
+    into a cache read; above the cap (or with no estimate) the 100 TB
+    behaviour — recompute per branch, no executor-memory
+    materialization — is kept unchanged."""
+    from geotools_spark.operators.partitioning import plan_size_bytes
+
+    est = plan_size_bytes(df)
+    if est is not None and est < cap_bytes:
+        return df.localCheckpoint(eager=True)
+    return df
 
 
 def tokens_expr(text_col: str = "text"):
@@ -133,34 +152,65 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, shingles, mh array<long>) — shingles are xxhash64'd ONCE,
+    """(id, mh array<long>) — shingles are xxhash64'd ONCE (JVM-side),
     then each permutation is an affine map ``(a_p * h + b_p) mod M``
     over the precomputed longs (the classic MinHash permutation
     family): 1 string hash + num_perm multiply-adds per shingle instead
-    of num_perm string hashes. All inside whole-stage codegen; ANSI
-    overflow avoided by reducing h mod 2^31-1 first."""
+    of num_perm string hashes.
+
+    The num_perm per-shingle multiply-add-mod-min passes run as ONE
+    Arrow hop: the old form (64 interpreted ``array_min(transform(...))``
+    higher-order expressions) was CodegenFallback — measured 1.0 s of
+    the signature stage at 5.5k docs. NumPy evaluates the identical
+    exact int64 arithmetic ((a*h+b) mod M fits int64: a < 2^23,
+    h < 2^31) with a segment-min per document — value-identical."""
     M = 2147483647  # 2^31 - 1 (Mersenne prime)
     with_sh = shingle_sets(docs, shingle_k=shingle_k, id_col=id_col, text_col=text_col)
     hashed = with_sh.select(
         id_col,
-        "shingles",
         F.transform(
             "shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(M))
         ).alias("_h"),
     )
     # deterministic permutation constants (any fixed odd a works)
     consts = [(2 * p * 40503 + 1, p * 9973 + 7) for p in range(num_perm)]
+    a_arr = np.asarray([c[0] for c in consts], dtype=np.int64)
+    b_arr = np.asarray([c[1] for c in consts], dtype=np.int64)
+    id_t = hashed.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, mh array<bigint>"
 
-    def _mh(p: int):
-        a, b = consts[p]
-        return F.array_min(
-            F.transform("_h", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(M)))
-        ).alias(f"_mh{p}")
+    def _mh(batches):
+        import pyarrow as pa
 
-    sig = hashed.select(id_col, "shingles", *[_mh(p) for p in range(num_perm)])
-    return sig.select(
-        id_col, "shingles", F.array(*[f"_mh{p}" for p in range(num_perm)]).alias("mh")
-    )
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            col = b.column(1)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            off = np.asarray(arr.offsets, dtype=np.int64)
+            off = off - off[0]
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            n = b.num_rows
+            # every doc has >= 1 shingle by construction (the sequence
+            # lower bound); reduceat on an empty segment would silently
+            # return the next value, so guard loudly
+            if np.any(off[1:] == off[:-1]):
+                raise ValueError("minhash_signatures: empty shingle set")
+            mh = np.empty((n, len(a_arr)), dtype=np.int64)
+            for p in range(len(a_arr)):
+                v = (a_arr[p] * flat + b_arr[p]) % M
+                mh[:, p] = np.minimum.reduceat(v, off[:-1])
+            yield pa.record_batch(
+                [
+                    b.column(0),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(mh.reshape(-1), type=pa.int64()), len(a_arr)
+                    ).cast(pa.list_(pa.int64())),
+                ],
+                names=[id_col, "mh"],
+            )
+
+    return hashed.mapInArrow(_mh, out_schema)
 
 
 def minhash_lsh_pairs(
@@ -191,6 +241,7 @@ def minhash_lsh_pairs(
         spread, num_perm=num_perm, shingle_k=shingle_k,
         id_col=id_col, text_col=text_col,
     )
+    sig = _pin_small(sig)
     band_cols = F.array(
         *[
             F.struct(
@@ -211,9 +262,9 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_tbl = shingle_sets(
+    sh_tbl = _pin_small(shingle_sets(
         spread, shingle_k=shingle_k, id_col=id_col, text_col=text_col
-    )
+    ))
     cand = (
         cand.join(
             sh_tbl.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
@@ -247,31 +298,48 @@ def minhash_lsh_pairs(
 def simhash(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash per doc: explode tokens -> xxhash64 -> per-bit
-    signed sums -> sign pack. One groupBy, 64 algebraic aggregates —
-    scales as a plain map-side-combinable aggregation."""
-    # hash materialized as a column: 64 aggregate update expressions
-    # reference it, and relying on codegen subexpression elimination
-    # across aggregates is fragile (see the shingle-split lesson)
-    toks = _spread(docs).select(
-        F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
-    ).select(F.col(id_col), F.xxhash64("tok").alias("_h"))
-    h = F.col("_h")
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{b}")
-        for b in range(64)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
-    packed = None
-    for b in range(64):
-        term = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(term, b)
-        packed = term if packed is None else packed.bitwiseOR(term)
-    return agg.select(id_col, packed.alias("simhash"))
+    """64-bit SimHash per doc: token xxhash64 (JVM) -> per-bit signed
+    sums -> sign pack.
+
+    The per-bit sums are PER-DOCUMENT quantities, so they need no
+    shuffle at all: the old explode -> groupBy(id) shape moved one row
+    per token (3.3M rows at 5.5k bench docs) through an exchange to
+    compute sums a narrow map can do. One Arrow hop now computes all
+    64 signed sums per doc with a segment-reduce over the token-hash
+    array — exact integer arithmetic, value-identical (arithmetic >>
+    on int64 matches Java shiftright; the b=63 shiftleft wraps
+    two's-complement in both). Docs with zero tokens are dropped,
+    exactly as the explode dropped them."""
+    hashed = _spread(docs).select(
+        F.col(id_col),
+        F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t)).alias("_h"),
+    ).filter(F.size("_h") > 0)
+    id_t = hashed.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, simhash bigint"
+
+    def _sh(batches):
+        import pyarrow as pa
+
+        for b_ in batches:
+            if b_.num_rows == 0:
+                continue
+            col = b_.column(1)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            off = np.asarray(arr.offsets, dtype=np.int64)
+            off = off - off[0]
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            n = b_.num_rows
+            packed = np.zeros(n, dtype=np.uint64)
+            for b in range(64):
+                contrib = (((flat >> b) & 1) * 2 - 1).astype(np.int64)
+                sums = np.add.reduceat(contrib, off[:-1])
+                packed |= (sums > 0).astype(np.uint64) << np.uint64(b)
+            yield pa.record_batch(
+                [b_.column(0), pa.array(packed.view(np.int64), type=pa.int64())],
+                names=[id_col, "simhash"],
+            )
+
+    return hashed.mapInArrow(_sh, out_schema)
 
 
 def simhash_pairs(
@@ -283,6 +351,9 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: 4x16-bit band join (any shared band)
     then exact Hamming distance <= max_hamming."""
+    # no pin here: the Arrow simhash is a cheap narrow map (~0.5 s at
+    # bench size), so an eager checkpoint's job barrier costs as much
+    # as the duplicate branch it would save (measured both ways)
     sh = simhash(docs, id_col=id_col, text_col=text_col)
     bands = sh.select(
         id_col,
