@@ -1299,19 +1299,14 @@ def _q_tree_crowns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.media import synthetic_media
-    from geotools_spark.operators.spans import explode_spans
-    from geotools_spark.sources.datagen import synthetic_documents
+    from geotools_spark.sources.datagen import synthetic_media_refs
 
     # media refs come from the interleaved input_hint table (the driver's
-    # documents.parquet is the flat text table used by the dedup/text ops)
-    docs = synthetic_documents(spark, 5000)
-    refs = (
-        explode_spans(docs)
-        .filter(F.col("kind") == "media")
-        .select("media_ref")
-        .distinct()
-    )
-    return synthetic_media(spark, refs)
+    # documents.parquet is the flat text table used by the dedup/text
+    # ops). synthetic_media_refs replays the doc generator's media
+    # branch as codegen columns — same ref set (test-pinned), none of
+    # the interpreted text-payload construction.
+    return synthetic_media(spark, synthetic_media_refs(spark, 5000))
 
 
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,6 +92,38 @@ def synthetic_documents(
     )
 
 
+def synthetic_media_refs(
+    spark: SparkSession, n_docs: int, *, partitions: int | None = None
+) -> DataFrame:
+    """DISTINCT media_ref set of ``synthetic_documents(n_docs)`` without
+    building the documents: the doc generator's span transform is an
+    interpreted higher-order expression that constructs every TEXT
+    payload (10 fields, 4 format_strings) even when the consumer only
+    wants the media refs — measured ~0.9 s at 5k docs for a 95-ref
+    result. This replays the identical integer mixing (same constants,
+    same span index range, same media predicate) as plain codegen
+    columns over an explode, so the ref SET is equal by construction
+    (pinned by tests/test_media.py)."""
+    rng = spark.range(0, n_docs, 1, partitions) if partitions else spark.range(n_docs)
+    e = rng.select(
+        "id", F.explode(F.expr("sequence(0, CAST(1 + id % 5 AS INT))")).alias("i")
+    ).filter((F.col("id") + F.col("i")) % 4 == 3)
+    m1 = F.pmod(
+        (F.col("id") % MIX) * F.lit(1103515245)
+        + F.col("i").cast("bigint") * F.lit(826366247)
+        + F.lit(12345),
+        F.lit(2147483647),
+    )
+    m2 = F.pmod(m1 * F.lit(69069) + F.lit(1), F.lit(2147483647))
+    ref = F.concat(
+        F.lit("tile/4/"),
+        (m1 % 16).cast("string"),
+        F.lit("/"),
+        (m2 % 16).cast("string"),
+    )
+    return e.select(ref.alias("media_ref")).distinct()
+
+
 def fixture_polygons(spark: SparkSession) -> DataFrame:
     """PIP fixture (FIXTURES.md §3): 3 disjoint convex polygons + 1
     concave, vertices off lattice points to dodge boundary ambiguity."""

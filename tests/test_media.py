@@ -685,3 +685,24 @@ def test_wav_real_world_formats():
     buf[i] = 2  # ADPCM
     with pytest.raises(NotImplementedError):
         codecs.decode_wav(bytes(buf))
+
+
+def test_media_refs_fast_path_matches_doc_explode(spark):
+    """synthetic_media_refs must reproduce exactly the distinct media
+    refs of the interleaved doc generator (the entry's media queries
+    build the media table from the fast path)."""
+    from geotools_spark.sources.datagen import synthetic_media_refs
+
+    docs = synthetic_documents(spark, 1500)
+    slow = sorted(
+        r.media_ref
+        for r in explode_spans(docs)
+        .filter(F.col("kind") == "media")
+        .select("media_ref")
+        .distinct()
+        .collect()
+    )
+    fast = sorted(
+        r.media_ref for r in synthetic_media_refs(spark, 1500).collect()
+    )
+    assert fast == slow
