@@ -39,8 +39,11 @@ from geotools_spark.sources.datagen import synthetic_documents
 def flagship_from_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(grid stats, media tile counts) over a documents table."""
     spans = explode_spans(docs)
+    # grid consumes only (x, y, z): the limited split stops the
+    # per-span tokenization after the 3rd separator (values identical)
     pts = with_cell(
-        parse_point_spans(spans), minx=0.0, miny=0.0, res=1.0, cols=64, zkey=True
+        parse_point_spans(spans, fields=("x", "y", "z")),
+        minx=0.0, miny=0.0, res=1.0, cols=64, zkey=True,
     )
     grid = gridstats.cell_stats(
         pts,
