@@ -36,9 +36,8 @@ from geotools_spark.operators.spans import (
 from geotools_spark.sources.datagen import synthetic_documents
 
 
-def flagship_from_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(grid stats, media tile counts) over a documents table."""
-    spans = explode_spans(docs)
+def _flagship_from_spans(spans: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(grid stats, media tile counts) over an exploded span table."""
     # grid consumes only (x, y, z): the limited split stops the
     # per-span tokenization after the 3rd separator (values identical)
     pts = with_cell(
@@ -57,12 +56,25 @@ def flagship_from_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return grid, tiles
 
 
+def flagship_from_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(grid stats, media tile counts) over a documents table."""
+    return _flagship_from_spans(explode_spans(docs))
+
+
 def flagship_docs_pipeline(spark: SparkSession, n_docs: int) -> tuple[DataFrame, DataFrame]:
-    """Synth docs in-plan -> flagship pipeline."""
-    docs = synthetic_documents(
+    """Synth docs in-plan -> flagship pipeline.
+
+    Generation-inclusive runs take the exploded-span generator: the
+    per-doc span-array transform is interpreted (CodegenFallback), and
+    a pipeline that starts with explode_spans never needed the arrays —
+    synthetic_spans_exploded emits identical rows from codegen columns
+    (parity pinned in tests/test_spans.py)."""
+    from geotools_spark.sources.datagen import synthetic_spans_exploded
+
+    spans = synthetic_spans_exploded(
         spark, n_docs, partitions=max(spark.sparkContext.defaultParallelism, 4)
     )
-    return flagship_from_docs(docs)
+    return _flagship_from_spans(spans)
 
 
 def materialize_docs_snapshot(spark: SparkSession, n_docs: int, path: str) -> DataFrame:
