@@ -96,6 +96,25 @@ def delaunay(xy: np.ndarray) -> np.ndarray:
     done: list[np.ndarray] = []
     fin_eps = span * 1e-9 / 64.0
     check_at = 2048
+    # Native fast path: the compiled kernel runs the IDENTICAL insertion
+    # loop (same float expressions under -ffp-contract=off, same row
+    # management, same output order) ~20x faster — the NumPy loop below
+    # is numpy-call-overhead-bound at ~15-20 small-array ops per insert.
+    # Triangle-for-triangle parity is pinned in tests/test_properties.py;
+    # no compiler (or GEOTOOLS_SPARK_NO_NATIVE=1) falls through here.
+    from geotools_spark.functions import _delaunay_native
+
+    raw = _delaunay_native.run(px_all, py_all, p2_all, n, order, fin_eps)
+    if raw is not None:
+        out = raw[(raw < n).all(axis=1)]
+        out = out.astype(np.int64).reshape(-1, 3)
+        if len(out):
+            ax, ay = px_all[out[:, 0]], py_all[out[:, 0]]
+            bx, by = px_all[out[:, 1]], py_all[out[:, 1]]
+            cx_, cy_ = px_all[out[:, 2]], py_all[out[:, 2]]
+            cw = (bx - ax) * (cy_ - ay) - (cx_ - ax) * (by - ay) < 0
+            out[cw] = out[cw][:, [0, 2, 1]]
+        return out
     for p in order:
         px = px_all[p]
         py = py_all[p]

@@ -162,3 +162,48 @@ def test_tin_validate_exact_at_vertices(xy):
         got = tin_validate_z(xyz, float(xy[i, 0]), float(xy[i, 1]))
         if not np.isnan(got):
             assert got == pytest.approx(z[i], abs=1e-6)
+
+
+def test_native_delaunay_matches_numpy_loop():
+    """The compiled Bowyer-Watson kernel must be triangle-for-triangle
+    identical to the NumPy loop (same float expressions, same row
+    management) — the terrain operators' interpolated values ride it."""
+    import os
+
+    import numpy as np
+
+    import geotools_spark.functions._delaunay_native as dn
+    from geotools_spark.functions import geometry
+
+    if dn.get_lib() is None:
+        import pytest
+
+        pytest.skip("no C toolchain on this host")
+
+    rng = np.random.RandomState(1234)
+    cases = []
+    for _ in range(25):
+        n = int(rng.choice([3, 4, 5, 10, 50, 200, 600, 2000]))
+        if rng.rand() < 0.5:
+            xy = np.round(rng.uniform(0, 2, (n, 2)), 3)  # cocircular-rich
+        else:
+            xy = rng.uniform(-100, 100, (n, 2))
+        if rng.rand() < 0.2:
+            xy[: n // 3] = xy[n // 3 : 2 * (n // 3)]  # duplicates
+        cases.append(xy)
+    cases.append(np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [3.0, 3.0]]))
+    gx, gy = np.meshgrid(np.arange(12.0), np.arange(12.0))
+    cases.append(np.column_stack([gx.ravel(), gy.ravel()]))  # grid: all ties
+
+    for xy in cases:
+        os.environ["GEOTOOLS_SPARK_NO_NATIVE"] = "1"
+        dn._lib_tried = False
+        dn._lib = None
+        try:
+            ref = geometry.delaunay(xy)
+        finally:
+            os.environ.pop("GEOTOOLS_SPARK_NO_NATIVE")
+        dn._lib_tried = False
+        dn._lib = None
+        got = geometry.delaunay(xy)
+        assert ref.shape == got.shape and np.array_equal(ref, got)
