@@ -116,3 +116,41 @@ def test_jpeg_routes_bit_identical_property(h, w, c, quant, layout, seed):
             a, quant=quant, progressive=True, restart_interval=2
         )
     assert np.array_equal(codecs.decode_jpeg(alt), base)
+
+
+def test_native_lzw_byte_parity():
+    """The compiled LZW encoder must emit the byte-identical stream of
+    the Python loop (greedy LZW is deterministic) across entropy
+    regimes, resets (>3836 table inserts) and degenerate inputs."""
+    import os
+
+    import numpy as np
+
+    from geotools_spark.sources import _lzw_native, codecs
+
+    if _lzw_native.get_lib() is None:
+        import pytest
+
+        pytest.skip("no C toolchain on this host")
+    rng = np.random.RandomState(99)
+    cases = [
+        b"",
+        b"A",
+        b"ABAB" * 50,
+        bytes(rng.randint(0, 256, 200000, dtype=np.uint8)),  # high entropy
+        bytes(rng.randint(0, 3, 400000, dtype=np.uint8)),    # low entropy
+        bytes(np.tile(np.arange(256, dtype=np.uint8), 300)),
+        bytes(300000),                                        # constant
+    ]
+    for src in cases:
+        os.environ["GEOTOOLS_SPARK_NO_NATIVE"] = "1"
+        _lzw_native._lib_tried = False
+        _lzw_native._lib = None
+        try:
+            ref = codecs._lzw_encode(src)
+        finally:
+            os.environ.pop("GEOTOOLS_SPARK_NO_NATIVE")
+        _lzw_native._lib_tried = False
+        _lzw_native._lib = None
+        got = codecs._lzw_encode(src)
+        assert ref == got
