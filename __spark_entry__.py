@@ -425,12 +425,17 @@ def _q_bilinear_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- training-data pipeline ops
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geotools_spark.operators.partitioning import spread
-
+def _docs(spark: SparkSession, sf_dir: str, *, spread: bool = True) -> DataFrame:
     # single-row-group parquet scans as one task; spread before the
-    # text-heavy per-row work downstream
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # text-heavy per-row work downstream. Queries whose first wide op
+    # supplies the parallelism (exact_dedup's hash window) opt out —
+    # same rationale as derive.points_df(spread=False).
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if spread:
+        from geotools_spark.operators.partitioning import spread as _spread
+
+        df = _spread(df)
+    return df
 
 
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,7 +459,7 @@ def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotools_spark.operators.dedup import exact_dedup
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + COPY_ID_OFFSET))
     return exact_dedup(doubled).select("doc_id", "n_chars")
 

@@ -254,6 +254,12 @@ def minhash_lsh_pairs(
     buckets = sig.select(id_col, F.explode(band_cols).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
+    # NOTE a first-matching-band filter (as in simhash_pairs) would
+    # drop the dropDuplicates exchange here, but it needs both sides to
+    # carry all `bands` band hashes through the bucket join — 16x the
+    # shuffle bytes of (id, band, bh) at corpus scale for one less
+    # stage of candidate-sized data. Wrong trade at 10^12 docs; the
+    # dedup exchange moves only collision-bounded pairs.
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
     cand = (
@@ -374,10 +380,23 @@ def simhash_pairs(
     ).select(id_col, "simhash", "bb.band", "bb.bk")
     left = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "band", "bk")
     right = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "band", "bk")
+    # a pair matching in several bands is kept ONLY at its first
+    # matching band — a pure codegen filter over the two signatures,
+    # replacing the dropDuplicates exchange (same pair set, one less
+    # shuffle + stage wave)
+    def _chunk(h, b):
+        return F.shiftright(h, 16 * b).bitwiseAND(F.lit(0xFFFF))
+
+    dup_before = F.lit(False)
+    for b in range(3):
+        dup_before = dup_before | (
+            (F.col("band") > b)
+            & (_chunk(F.col("h_a"), b) == _chunk(F.col("h_b"), b))
+        )
     cand = (
         left.join(right, ["band", "bk"], "inner")
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(~dup_before)
     )
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
