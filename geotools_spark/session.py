@@ -54,6 +54,12 @@ def get_spark(
         # always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.maxResultSize", "2g")
+        # scan-parallelism floor: a snapshot scan sized at the default
+        # 128 MB splits can yield fewer tasks than cores (e.g. a
+        # 2.5 GB / 32 MB-row-group flagship snapshot -> ~20 tasks on 32
+        # cores). minPartitionNum is Spark's knob for exactly this and
+        # scales with the session's core count, not the input.
+        .config("spark.sql.files.minPartitionNum", str(cores))
         # local mode runs everything in the driver JVM; the 1g default
         # heap GC-thrashes under 32 executor threads (GCLocker retry
         # failures). Only effective for the process's first JVM launch.
